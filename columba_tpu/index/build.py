@@ -1,0 +1,306 @@
+"""Host-side index construction.
+
+Mirrors the role of the reference's ``columba_build``
+(reference: src/buildindex.cpp): FASTA concatenation with seeded non-ACGT
+replacement, suffix array, BWT + reverse BWT, and packing into the TPU-native
+layout:
+
+  - ``text``     : 2-bit packed genome (16 bases / uint32 word)
+  - ``bwt``/``rbwt``: 2-bit packed BWT of text+'$' and revtext+'$' with the
+    '$' slot stored as code 0 and its row recorded separately (the reference
+    similarly leaves '$' out of its occ bitvectors, src/fmindex/bwtrepr.h)
+  - ``occ``/``rocc`` : per-128-char block checkpoints of occ(c, block_start),
+    i.e. the L1/L2 counts of the reference's interleaved rank9 bitvector
+    (src/bitvec.h:234-478) re-laid-out as a dense (blocks, 4) int32 array so a
+    batched rank is one row gather + popcount-style in-block reduction.
+  - sparse SA samples at SA[i] % f == 0 with a marker bitvector
+    (reference: src/fmindex/suffixArray.h)
+
+Index directory layout: ``<name>.cidx/`` with .npy arrays + meta.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from columba_tpu.core import alphabet
+from columba_tpu.index.suffix import suffix_array
+
+INDEX_FORMAT_VERSION = 1
+BLOCK = 128          # chars per occ checkpoint block
+WORDS_PER_BLOCK = BLOCK // 16
+
+
+@dataclass
+class IndexArrays:
+    """All host numpy arrays of a built index."""
+
+    meta: dict
+    text: np.ndarray        # packed uint32, 16 bases/word, n bases
+    bwt: np.ndarray         # packed uint32 (N = n+1 slots incl. '$' as A)
+    rbwt: np.ndarray
+    occ: np.ndarray         # (blocks, 4) int32 checkpoint counts
+    rocc: np.ndarray
+    counts: np.ndarray      # (4,) int32: first SA row of A,C,G,T
+    sa_samples: np.ndarray  # int32 sampled SA values, in SA-row order
+    sa_bits: np.ndarray     # packed uint32 marker bitvector over N rows
+    sa_bits_rank: np.ndarray  # (blocks,) int32: set bits before each 128-bit block
+    seq_starts: np.ndarray  # (num_seqs+1,) int64 cumulative start offsets
+    seq_names: list[str] = field(default_factory=list)
+
+    @property
+    def n(self) -> int:
+        return self.meta["n"]
+
+    @property
+    def dollar_fwd(self) -> int:
+        return self.meta["dollar_fwd"]
+
+    @property
+    def dollar_rev(self) -> int:
+        return self.meta["dollar_rev"]
+
+
+def pack_2bit(codes: np.ndarray) -> np.ndarray:
+    """uint8 codes (0..3) -> packed uint32, 16 codes/word, little-end first."""
+    n = len(codes)
+    n_words = (n + 15) // 16
+    padded = np.zeros(n_words * 16, dtype=np.uint32)
+    padded[:n] = codes
+    shifts = (2 * np.arange(16, dtype=np.uint32))[None, :]
+    return np.bitwise_or.reduce(padded.reshape(-1, 16) << shifts, axis=1).astype(np.uint32)
+
+
+def unpack_2bit(words: np.ndarray, n: int) -> np.ndarray:
+    shifts = (2 * np.arange(16, dtype=np.uint32))[None, :]
+    codes = ((words[:, None] >> shifts) & 3).astype(np.uint8).reshape(-1)
+    return codes[:n]
+
+
+def _occ_checkpoints(codes: np.ndarray, n_rows: int) -> np.ndarray:
+    """(blocks, 4) int32 checkpoints: count of code c in codes[0:128*b)."""
+    blocks = (n_rows >> 7) + 1
+    padded = np.zeros(blocks * BLOCK, dtype=np.uint8)
+    padded[:n_rows] = codes[:n_rows]
+    per_block = np.zeros((blocks, 4), dtype=np.int64)
+    view = padded.reshape(blocks, BLOCK)
+    for c in range(4):
+        per_block[:, c] = (view == c).sum(axis=1)
+    ckpt = np.zeros((blocks, 4), dtype=np.int64)
+    np.cumsum(per_block[:-1], axis=0, out=ckpt[1:])
+    return ckpt.astype(np.int32)
+
+
+def _pack_bits(bits: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """bool array -> (packed uint32 words, per-128-bit-block rank ckpts)."""
+    n = len(bits)
+    blocks = (n >> 7) + 1
+    padded = np.zeros(blocks * BLOCK, dtype=np.uint8)
+    padded[:n] = bits
+    weights = (1 << np.arange(32, dtype=np.uint64))[None, :]
+    words = (padded.reshape(-1, 32).astype(np.uint64) * weights).sum(axis=1).astype(np.uint32)
+    per_block = padded.reshape(blocks, BLOCK).sum(axis=1)
+    rank = np.zeros(blocks, dtype=np.int64)
+    np.cumsum(per_block[:-1], out=rank[1:])
+    return words, rank.astype(np.int32)
+
+
+def preprocess_fasta(
+    fasta_paths: list[str], seed: int = 42
+) -> tuple[np.ndarray, list[str], np.ndarray]:
+    """Concatenate FASTA files, replace non-ACGT with seeded random bases.
+
+    Returns (codes uint8 0..3, seq names, seq start offsets int64 with final
+    sentinel offset). Mirrors reference preprocessing
+    (src/buildindex.cpp:614-682) in spirit; the RNG differs, so byte-parity
+    runs must feed the *written-back* preprocessed FASTA to both aligners.
+    """
+    names: list[str] = []
+    chunks: list[np.ndarray] = []
+    starts = [0]
+    total = 0
+    for path in fasta_paths:
+        with open(path, "rb") as f:
+            name = None
+            seq_parts: list[bytes] = []
+
+            def flush():
+                nonlocal total
+                if name is None:
+                    return
+                seq = b"".join(seq_parts)
+                codes = alphabet.encode(seq)
+                names.append(name)
+                chunks.append(codes)
+                total += len(codes)
+                starts.append(total)
+
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                if line.startswith(b">"):
+                    flush()
+                    name = line[1:].split()[0].decode()
+                    seq_parts = []
+                else:
+                    seq_parts.append(line)
+            flush()
+    if not chunks:
+        raise ValueError("no sequences found")
+    codes = np.concatenate(chunks)
+    bad = codes > 3
+    n_bad = int(bad.sum())
+    if n_bad:
+        rng = np.random.default_rng(seed)
+        codes[bad] = rng.integers(0, 4, size=n_bad, dtype=np.int64).astype(np.uint8)
+    return codes, names, np.array(starts, dtype=np.int64)
+
+
+def build_index_from_codes(
+    codes: np.ndarray,
+    seq_names: list[str] | None = None,
+    seq_starts: np.ndarray | None = None,
+    sa_sparseness: int = 4,
+    sa_method: str = "auto",
+) -> IndexArrays:
+    """Build all index arrays from a clean 0..3 code array (no sentinel)."""
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    if codes.max(initial=0) > 3:
+        raise ValueError("text contains non-ACGT codes; preprocess first")
+    n = len(codes)
+    big = n + 1  # rows incl. '$'
+    if big >= 2**31:
+        raise NotImplementedError("32-bit build only (text must be < 2^31)")
+
+    def bwt_of(text: np.ndarray) -> tuple[np.ndarray, int]:
+        """BWT rows of text+'$' with '$' slot as code 0; returns dollar row."""
+        sa = suffix_array(text, method=sa_method)
+        sa_full = np.empty(big, dtype=np.int64)
+        sa_full[0] = n
+        sa_full[1:] = sa
+        prev = sa_full - 1
+        dollar_row = int(np.nonzero(sa_full == 0)[0][0])
+        prev[dollar_row] = n  # placeholder; slot stored as code 0
+        bwt_codes = np.where(prev == n, 0, text[np.clip(prev, 0, n - 1)]).astype(np.uint8)
+        bwt_codes[dollar_row] = 0
+        return bwt_codes, dollar_row, sa_full
+
+    bwt_codes, dollar_fwd, sa_full = bwt_of(codes)
+    rcodes = codes[::-1].copy()
+    rbwt_codes, dollar_rev, _ = bwt_of(rcodes)
+
+    occ = _occ_checkpoints(bwt_codes, big)
+    rocc = _occ_checkpoints(rbwt_codes, big)
+
+    char_counts = np.bincount(codes, minlength=4).astype(np.int64)
+    counts = np.zeros(4, dtype=np.int64)
+    counts[0] = 1  # '$'
+    np.cumsum(char_counts[:-1], out=counts[1:])
+    counts[1:] += 1
+
+    f = int(sa_sparseness)
+    sampled = (sa_full % f) == 0
+    sa_samples = sa_full[sampled].astype(np.int32)
+    sa_bits, sa_bits_rank = _pack_bits(sampled)
+
+    if seq_names is None:
+        seq_names = ["seq0"]
+        seq_starts = np.array([0, n], dtype=np.int64)
+
+    meta = {
+        "format_version": INDEX_FORMAT_VERSION,
+        "n": n,
+        "dollar_fwd": dollar_fwd,
+        "dollar_rev": dollar_rev,
+        "sa_sparseness": f,
+        "num_seqs": len(seq_names),
+    }
+    return IndexArrays(
+        meta=meta,
+        text=pack_2bit(codes),
+        bwt=pack_2bit(_pad_to_blocks(bwt_codes)),
+        rbwt=pack_2bit(_pad_to_blocks(rbwt_codes)),
+        occ=occ,
+        rocc=rocc,
+        counts=counts.astype(np.int32),
+        sa_samples=sa_samples,
+        sa_bits=sa_bits,
+        sa_bits_rank=sa_bits_rank,
+        seq_starts=np.asarray(seq_starts, dtype=np.int64),
+        seq_names=list(seq_names),
+    )
+
+
+def _pad_to_blocks(codes: np.ndarray) -> np.ndarray:
+    n = len(codes)
+    blocks = (n >> 7) + 1
+    out = np.zeros(blocks * BLOCK, dtype=np.uint8)
+    out[:n] = codes
+    return out
+
+
+def build_index(
+    fasta_paths: list[str] | str,
+    out_dir: str | None = None,
+    sa_sparseness: int = 4,
+    seed: int = 42,
+    sa_method: str = "auto",
+    write_preprocessed_fasta: bool = False,
+) -> IndexArrays:
+    """End-to-end: FASTA file(s) -> index arrays (optionally persisted)."""
+    if isinstance(fasta_paths, str):
+        fasta_paths = [fasta_paths]
+    codes, names, starts = preprocess_fasta(fasta_paths, seed=seed)
+    idx = build_index_from_codes(
+        codes, names, starts, sa_sparseness=sa_sparseness, sa_method=sa_method
+    )
+    if out_dir is not None:
+        save_index(idx, out_dir)
+        if write_preprocessed_fasta:
+            write_fasta_back(codes, names, starts, os.path.join(out_dir, "preprocessed.fa"))
+    return idx
+
+
+def write_fasta_back(codes, names, starts, path, width: int = 80) -> None:
+    with open(path, "w") as f:
+        for i, name in enumerate(names):
+            f.write(f">{name}\n")
+            seq = alphabet.decode(codes[starts[i]:starts[i + 1]])
+            for j in range(0, len(seq), width):
+                f.write(seq[j:j + width] + "\n")
+
+
+_ARRAY_FIELDS = [
+    "text", "bwt", "rbwt", "occ", "rocc", "counts",
+    "sa_samples", "sa_bits", "sa_bits_rank", "seq_starts",
+]
+
+
+def save_index(idx: IndexArrays, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for name in _ARRAY_FIELDS:
+        np.save(os.path.join(out_dir, name + ".npy"), getattr(idx, name))
+    meta = dict(idx.meta)
+    meta["seq_names"] = idx.seq_names
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_index(out_dir: str) -> IndexArrays:
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("format_version") != INDEX_FORMAT_VERSION:
+        raise ValueError(
+            f"index format {meta.get('format_version')} != {INDEX_FORMAT_VERSION};"
+            " rebuild the index"
+        )
+    seq_names = meta.pop("seq_names")
+    arrays = {
+        name: np.load(os.path.join(out_dir, name + ".npy")) for name in _ARRAY_FIELDS
+    }
+    return IndexArrays(meta=meta, seq_names=seq_names, **arrays)

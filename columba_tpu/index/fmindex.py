@@ -1,0 +1,94 @@
+"""Device-side bidirectional FM-index.
+
+The TPU-native equivalent of the reference's ``FMIndex``
+(reference: src/fmindex/fmindex.h:43-571): all arrays live in HBM as dense
+jnp tensors, replicated per chip. Character extension, locate and text access
+are *batched* ops over frontiers of SA-interval pairs (see columba_tpu.ops).
+
+Key layout decision: the forward-BWT and reverse-BWT words (and their occ
+checkpoints) are **concatenated** into single arrays. A frontier mixes nodes
+extending backward (querying the fwd BWT) and forward (querying the rev BWT);
+with the concatenated layout the extension direction is just a block offset,
+so one batched gather serves a mixed-direction frontier — no masked dual
+computation, no host-side regrouping.
+
+Range convention: a node's state is a length-4 int32 vector
+``[f_lo, f_hi, r_lo, r_hi)`` — half-open SA interval in the forward index and
+the synchronized interval in the reverse index (same width), mirroring the
+reference's ``SARangePair`` (src/indexhelpers.h:1057+).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from columba_tpu.index.build import IndexArrays
+
+KMER_K = 10  # seed table k-mer size (reference default, src/definitions.h)
+
+
+@dataclass(frozen=True)
+class FMIndex:
+    """Replicated device arrays of one index. A pytree of jnp arrays."""
+
+    bwt_cat: jax.Array    # packed uint32 [fwd-BWT words | rev-BWT words]
+    occ_cat: jax.Array    # (2*blocks, 4) int32 checkpoints [fwd | rev]
+    counts: jax.Array     # (4,) int32 first SA row per char (A,C,G,T)
+    dollar: jax.Array     # (2,) int32: '$' row in [fwd, rev] BWT
+    text: jax.Array       # packed uint32 genome words (padded)
+    sa_samples: jax.Array  # int32, SA values at sampled rows, SA-row order
+    sa_bits: jax.Array     # packed uint32 marker bits over rows
+    sa_bits_rank: jax.Array  # (blocks,) int32
+    n_arr: jax.Array      # (2,) int32: [n (text length), n+1 (rows)]
+
+    # -- static metadata (not traced) --
+    n: int = 0
+    blocks: int = 0       # occ blocks per direction
+    sa_sparseness: int = 4
+
+    @staticmethod
+    def from_arrays(arrays: IndexArrays) -> "FMIndex":
+        n = arrays.n
+        blocks = arrays.occ.shape[0]
+        assert arrays.rocc.shape[0] == blocks
+        assert arrays.bwt.shape[0] == blocks * 8, (arrays.bwt.shape, blocks)
+        text = np.concatenate([arrays.text, np.zeros(16, dtype=np.uint32)])
+        return FMIndex(
+            bwt_cat=jnp.asarray(np.concatenate([arrays.bwt, arrays.rbwt])),
+            occ_cat=jnp.asarray(np.concatenate([arrays.occ, arrays.rocc])),
+            counts=jnp.asarray(arrays.counts),
+            dollar=jnp.asarray(
+                [arrays.dollar_fwd, arrays.dollar_rev], dtype=jnp.int32
+            ),
+            text=jnp.asarray(text),
+            sa_samples=jnp.asarray(arrays.sa_samples),
+            sa_bits=jnp.asarray(arrays.sa_bits),
+            sa_bits_rank=jnp.asarray(arrays.sa_bits_rank),
+            n_arr=jnp.asarray([n, n + 1], dtype=jnp.int32),
+            n=n,
+            blocks=blocks,
+            sa_sparseness=arrays.meta["sa_sparseness"],
+        )
+
+    @property
+    def num_rows(self) -> int:
+        return self.n + 1
+
+    def full_range(self, batch_shape=()) -> jax.Array:
+        """The whole-index SARangePair [0, n+1, 0, n+1) broadcast to batch."""
+        r = jnp.array([0, self.n + 1, 0, self.n + 1], dtype=jnp.int32)
+        return jnp.broadcast_to(r, (*batch_shape, 4))
+
+
+jax.tree_util.register_dataclass(
+    FMIndex,
+    data_fields=[
+        "bwt_cat", "occ_cat", "counts", "dollar", "text",
+        "sa_samples", "sa_bits", "sa_bits_rank", "n_arr",
+    ],
+    meta_fields=["n", "blocks", "sa_sparseness"],
+)

@@ -1,0 +1,119 @@
+"""Batched bidirectional SA-interval extension.
+
+TPU-native replacement for the reference's per-node character extension
+(reference: src/fmindex/fmindex.cpp:137-211 ``findRangesWithExtraChar
+Backward/Forward``): one vectorized step extends every node of a frontier by
+all four characters at once. The two occ gathers at a node's active-interval
+endpoints produce occ for all 4 characters, from which all 4 children's
+range pairs follow arithmetically (the reference computes the synchronized
+reverse range from cumulative occ the same way).
+
+Direction handling: dir==0 extends backward (prepend char; queries fwd BWT),
+dir==1 extends forward (append char; queries rev BWT). With the concatenated
+BWT/occ layout (see index.fmindex) direction is a block offset, so frontiers
+may freely mix directions.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from columba_tpu.index.fmindex import FMIndex
+from columba_tpu.ops import rank
+
+
+def _occ_dir(index: FMIndex, pos: jax.Array, dirs: jax.Array):
+    """occ for all 4 chars at `pos` in the BWT selected by `dirs`.
+
+    Returns (occ (...,4) with '$' slot removed, dollar count (...,)).
+    """
+    blk_off = dirs.astype(jnp.int32) * index.blocks
+    # occ_all computes blk = pos >> 7 internally; shift pos by whole blocks.
+    shifted = pos.astype(jnp.int32) + (blk_off << 7)
+    raw = rank.occ_all(index.bwt_cat, index.occ_cat, shifted)
+    dollar_row = index.dollar[dirs.astype(jnp.int32)]
+    d = (dollar_row < pos).astype(jnp.int32)
+    raw = raw.at[..., 0].add(-d)
+    return raw, d
+
+
+def extend_all(index: FMIndex, ranges: jax.Array, dirs: jax.Array) -> jax.Array:
+    """Extend every node by all 4 characters.
+
+    ranges: (..., 4) int32 [f_lo, f_hi, r_lo, r_hi); dirs: (...,) int32.
+    Returns (..., 4, 4): child range for chars A,C,G,T. Empty children have
+    hi <= lo.
+    """
+    f_lo, f_hi, r_lo, r_hi = (ranges[..., i] for i in range(4))
+    bwd = dirs == 0
+    a_lo = jnp.where(bwd, f_lo, r_lo)
+    a_hi = jnp.where(bwd, f_hi, r_hi)
+    b_lo = jnp.where(bwd, r_lo, f_lo)
+
+    occ_lo, d_lo = _occ_dir(index, a_lo, dirs)
+    occ_hi, d_hi = _occ_dir(index, a_hi, dirs)
+
+    counts = index.counts  # (4,)
+    new_a_lo = counts + occ_lo          # (..., 4)
+    new_a_hi = counts + occ_hi
+    width = new_a_hi - new_a_lo
+
+    # chars-smaller-than-c in bwt[a_lo:a_hi): '$' + exclusive cumsum of occ
+    cum_lo = jnp.cumsum(occ_lo, axis=-1) - occ_lo + d_lo[..., None]
+    cum_hi = jnp.cumsum(occ_hi, axis=-1) - occ_hi + d_hi[..., None]
+    new_b_lo = b_lo[..., None] + (cum_hi - cum_lo)
+    new_b_hi = new_b_lo + width
+
+    new_f_lo = jnp.where(bwd[..., None], new_a_lo, new_b_lo)
+    new_f_hi = jnp.where(bwd[..., None], new_a_hi, new_b_hi)
+    new_r_lo = jnp.where(bwd[..., None], new_b_lo, new_a_lo)
+    new_r_hi = jnp.where(bwd[..., None], new_r_lo + width, new_a_hi)
+    return jnp.stack([new_f_lo, new_f_hi, new_r_lo, new_r_hi], axis=-1)
+
+
+def extend_char(
+    index: FMIndex, ranges: jax.Array, chars: jax.Array, dirs: jax.Array
+) -> jax.Array:
+    """Extend every node by its own single character (exact matching step).
+
+    chars: (...,) int32 in 0..3; char 4 (N) yields an empty range.
+    Returns (..., 4) child ranges.
+    """
+    all4 = extend_all(index, ranges, dirs)  # (..., 4, 4)
+    safe = jnp.clip(chars, 0, 3).astype(jnp.int32)
+    child = jnp.take_along_axis(
+        all4, safe[..., None, None].astype(jnp.int32), axis=-2
+    )[..., 0, :]
+    # N never matches: empty range
+    bad = (chars > 3)[..., None]
+    return jnp.where(bad, jnp.zeros_like(child), child)
+
+
+def exact_match(
+    index: FMIndex,
+    patterns: jax.Array,
+    lengths: jax.Array | None = None,
+) -> jax.Array:
+    """Exact backward match of fixed-width patterns (B, m) int32 codes.
+
+    Matches pattern[m-1], pattern[m-2], ... (backward search). Positions with
+    code > 3 beyond `lengths` are skipped (treated as padding); codes > 3
+    inside the pattern produce empty ranges.
+    Returns (B, 4) final ranges.
+    """
+    B, m = patterns.shape
+    if lengths is None:
+        lengths = jnp.full((B,), m, dtype=jnp.int32)
+    ranges = index.full_range((B,))
+    dirs = jnp.zeros((B,), dtype=jnp.int32)
+
+    def body(i, rs):
+        # i-th step matches pattern char at position (lengths-1-i)
+        j = lengths - 1 - i
+        active = j >= 0
+        c = patterns[jnp.arange(B), jnp.clip(j, 0, m - 1)]
+        new = extend_char(index, rs, c, dirs)
+        return jnp.where(active[..., None], new, rs)
+
+    return jax.lax.fori_loop(0, m, body, ranges)

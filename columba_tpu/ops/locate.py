@@ -1,0 +1,46 @@
+"""Batched locate: SA row -> text position via LF-walk to a sampled row.
+
+TPU-native replacement for the reference's ``findSA``
+(reference: src/fmindex/fmindex.cpp:53-60): every lane walks LF until it hits
+a marked row (SA[i] % f == 0 sampling guarantees <= f-1 steps), then reads
+the sample; all lanes run the fixed f-1 iterations with done-masking.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from columba_tpu.index.fmindex import FMIndex
+from columba_tpu.ops import rank
+
+
+def lf_step(index: FMIndex, rows: jax.Array) -> jax.Array:
+    """LF(row) on the forward BWT, batched."""
+    c = rank.gather_codes(index.bwt_cat, rows)  # '$' slot reads as A
+    occ4 = rank.occ_all(index.bwt_cat, index.occ_cat, rows)
+    d = (index.dollar[0] < rows).astype(jnp.int32)
+    occ4 = occ4.at[..., 0].add(-d)
+    occ_c = jnp.take_along_axis(occ4, c[..., None], axis=-1)[..., 0]
+    lf = index.counts[c] + occ_c
+    return jnp.where(rows == index.dollar[0], 0, lf)
+
+
+def locate_rows(index: FMIndex, rows: jax.Array) -> jax.Array:
+    """Text position SA[row] for each lane (int32)."""
+    f = index.sa_sparseness
+    steps = jnp.zeros_like(rows)
+    cur = rows
+
+    def body(_, state):
+        cur, steps = state
+        sampled = rank.get_bit(index.sa_bits, cur)
+        nxt = lf_step(index, cur)
+        cur = jnp.where(sampled, cur, nxt)
+        steps = jnp.where(sampled, steps, steps + 1)
+        return cur, steps
+
+    cur, steps = jax.lax.fori_loop(0, max(f - 1, 0), body, (cur, steps))
+    idx = rank.rank_bits(index.sa_bits, index.sa_bits_rank, cur)
+    sval = index.sa_samples[idx]
+    return sval + steps

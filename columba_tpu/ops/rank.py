@@ -1,0 +1,95 @@
+"""Batched rank/occ over 2-bit packed BWT words.
+
+The TPU-native replacement for the reference's interleaved rank9 bitvector
+query (reference: src/bitvec.h:356-372 ``BitvecIntl::rank``): a checkpoint
+row gather + in-block popcount reduction, vectorized over a frontier of
+positions, returning occ for *all four* characters at once (one gather serves
+all 4 children of a frontier node).
+
+Layout: BLOCK=128 chars per checkpoint, 8 uint32 words per block.
+The '$' row is packed as code 0 (A); callers adjust via `dollar`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+BLOCK = 128
+WPB = 8  # words per block
+
+_PAT = jnp.asarray([0x00000000, 0x55555555, 0xAAAAAAAA, 0xFFFFFFFF], dtype=jnp.uint32)
+
+
+def occ_all(words: jax.Array, ckpt: jax.Array, pos: jax.Array) -> jax.Array:
+    """occ(c, pos) for c in A,C,G,T.
+
+    words: (W,) uint32 packed codes;  ckpt: (blocks, 4) int32;
+    pos: (...,) int32 positions in [0, rows].
+    Returns (..., 4) int32 counts of each code in words[0:pos) — counting the
+    '$' slot as code 0 (callers subtract the dollar adjustment).
+    """
+    pos = pos.astype(jnp.int32)
+    blk = pos >> 7
+    base = ckpt[blk]  # (..., 4)
+    w0 = (blk << 3)[..., None] + jnp.arange(WPB, dtype=jnp.int32)  # (..., 8)
+    wvals = words[w0]  # (..., 8) uint32
+
+    # chars of word w that lie before pos: r = clamp(pos - blk*128 - 16*w, 0, 16)
+    r = pos[..., None] - (blk[..., None] << 7) - 16 * jnp.arange(WPB, dtype=jnp.int32)
+    r = jnp.clip(r, 0, 16)
+    # mask of 2r low bits (r==16 -> all ones)
+    shift = jnp.minimum(2 * r, 31).astype(jnp.uint32)
+    mask = jnp.where(
+        r >= 16,
+        jnp.uint32(0xFFFFFFFF),
+        (jnp.uint32(1) << shift) - jnp.uint32(1),
+    )
+
+    # count code c among masked 2-bit slots: both bits equal to pattern
+    out = []
+    for c in range(4):
+        x = wvals ^ _PAT[c]
+        hits = (~x) & ((~x) >> 1) & jnp.uint32(0x55555555) & mask
+        out.append(jnp.sum(jax.lax.population_count(hits), axis=-1).astype(jnp.int32))
+    return base + jnp.stack(out, axis=-1)
+
+
+def cnt_dollar(dollar_row: jax.Array, pos: jax.Array) -> jax.Array:
+    """Number of '$' in bwt[0:pos) (0 or 1)."""
+    return (dollar_row < pos).astype(jnp.int32)
+
+
+def occ_adjusted(words, ckpt, dollar_row, pos):
+    """(occ for A,C,G,T with '$' slot removed, count of '$'), batched."""
+    raw = occ_all(words, ckpt, pos)
+    d = cnt_dollar(dollar_row, pos)
+    raw = raw.at[..., 0].add(-d)
+    return raw, d
+
+
+def rank_bits(bits: jax.Array, bits_rank: jax.Array, pos: jax.Array) -> jax.Array:
+    """rank1 over a packed marker bitvector (32 bits/word, 128/block)."""
+    pos = pos.astype(jnp.int32)
+    blk = pos >> 7
+    base = bits_rank[blk]
+    w0 = (blk << 2)[..., None] + jnp.arange(4, dtype=jnp.int32)
+    wvals = bits[w0]
+    r = jnp.clip(pos[..., None] - (blk[..., None] << 7) - 32 * jnp.arange(4, dtype=jnp.int32), 0, 32)
+    shift = jnp.minimum(r, 31).astype(jnp.uint32)
+    mask = jnp.where(
+        r >= 32, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << shift) - jnp.uint32(1)
+    )
+    cnt = jnp.sum(jax.lax.population_count(wvals & mask), axis=-1).astype(jnp.int32)
+    return base + cnt
+
+
+def get_bit(bits: jax.Array, pos: jax.Array) -> jax.Array:
+    w = bits[pos >> 5]
+    return ((w >> (pos.astype(jnp.uint32) & 31)) & 1).astype(jnp.bool_)
+
+
+def gather_codes(words: jax.Array, pos: jax.Array) -> jax.Array:
+    """Gather single 2-bit codes at positions (no bounds check)."""
+    w = words[pos >> 4]
+    return ((w >> (2 * (pos.astype(jnp.uint32) & 15))) & 3).astype(jnp.int32)
