@@ -1,0 +1,184 @@
+"""Benchmark: reads/sec/chip for the headline config (100 bp, k=2 edit,
+kucherov k+1), per BASELINE.md.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline compares against the reference C++ Columba (single thread) run
+on the SAME genome/reads on this machine, if the reference binary can be
+built offline (tools/build_reference.sh); the measurement is cached in
+/tmp/columba_ref_baseline.json. Without it, vs_baseline is null.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+CACHE_DIR = "/tmp/columba_tpu_bench"
+GENOME_N = 8_000_000
+READ_LEN = 100
+NUM_READS = 20_000
+K = 2
+BATCH = 2048
+ERR_RATE = 0.01
+
+
+def build_workload():
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    gpath = os.path.join(CACHE_DIR, "genome.npy")
+    rpath = os.path.join(CACHE_DIR, "reads.npy")
+    if os.path.exists(gpath) and os.path.exists(rpath):
+        return np.load(gpath), np.load(rpath)
+    rng = np.random.default_rng(20260817)
+    genome = rng.integers(0, 4, size=GENOME_N).astype(np.uint8)
+    starts = rng.integers(0, GENOME_N - READ_LEN - 8, size=NUM_READS)
+    reads = np.zeros((NUM_READS, READ_LEN), dtype=np.uint8)
+    from columba_tpu.core import alphabet
+
+    for i, s in enumerate(starts):
+        seq = genome[s:s + READ_LEN].copy()
+        nerr = rng.poisson(ERR_RATE * READ_LEN)
+        for _ in range(int(nerr)):
+            j = int(rng.integers(0, READ_LEN))
+            seq[j] = (seq[j] + 1 + rng.integers(0, 3)) % 4
+        if rng.random() < 0.5:
+            seq = alphabet.revcomp(seq)
+        reads[i] = seq
+    np.save(gpath, genome)
+    np.save(rpath, reads)
+    return genome, reads
+
+
+def build_index_cached(genome):
+    from columba_tpu.index.build import build_index_from_codes, load_index, save_index
+
+    idx_dir = os.path.join(CACHE_DIR, "idx.cidx")
+    if os.path.exists(os.path.join(idx_dir, "meta.json")):
+        try:
+            return load_index(idx_dir)
+        except ValueError:
+            pass
+    arrays = build_index_from_codes(genome)
+    save_index(arrays, idx_dir)
+    return arrays
+
+
+def measure_tpu(arrays, reads) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from columba_tpu.index.fmindex import FMIndex
+    from columba_tpu.search import pipeline
+    from columba_tpu.search.scheme import get_scheme
+
+    index = FMIndex.from_arrays(arrays)
+    scheme = get_scheme("kuch1", K)
+    sched = pipeline.compile_cached(scheme, READ_LEN, "edit")
+    t_back = jnp.asarray(sched.t_back)
+    pivot = jnp.asarray(sched.pivot)
+    capacity = 8 * BATCH  # both strands: 2*BATCH rows * S=3 searches + slack
+    max_locate = 1 << 15
+
+    from columba_tpu.core import alphabet
+
+    def batch_rows(b):
+        rc = alphabet.revcomp(b, axis=-1)
+        return jnp.asarray(np.concatenate([b, rc]).astype(np.int32))
+
+    step = jax.jit(
+        lambda idx, rd: pipeline.match_device_core(
+            idx, rd, sched, t_back, pivot, capacity, max_locate, K
+        )
+    )
+
+    # warmup / compile
+    rows = batch_rows(reads[:BATCH])
+    out = step(index, rows)
+    jax.block_until_ready(out)
+
+    n_done = 0
+    t0 = time.time()
+    for off in range(BATCH, len(reads) - BATCH + 1, BATCH):
+        rows = batch_rows(reads[off:off + BATCH])
+        out = step(index, rows)
+        n_done += BATCH
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    return n_done / dt
+
+
+def measure_reference(genome, reads) -> float | None:
+    """Single-thread reference Columba on the same workload (cached)."""
+    cache = "/tmp/columba_ref_baseline.json"
+    if os.path.exists(cache):
+        with open(cache) as f:
+            return json.load(f).get("reads_per_sec")
+    binary = "/tmp/colbuild/columba"
+    builder = "/tmp/colbuild/columba_build"
+    if not (os.path.exists(binary) and os.path.exists(builder)):
+        script = os.path.join(HERE, "tools", "build_reference.sh")
+        if os.path.exists(script):
+            try:
+                subprocess.run(["bash", script], check=True, timeout=900,
+                               capture_output=True)
+            except Exception:
+                return None
+        if not os.path.exists(binary):
+            return None
+    try:
+        from columba_tpu.core import alphabet
+
+        wd = os.path.join(CACHE_DIR, "ref")
+        os.makedirs(wd, exist_ok=True)
+        fa = os.path.join(wd, "genome.fa")
+        if not os.path.exists(fa):
+            with open(fa, "w") as f:
+                f.write(">chr1\n")
+                seq = alphabet.decode(genome)
+                for i in range(0, len(seq), 70):
+                    f.write(seq[i:i + 70] + "\n")
+        fq = os.path.join(wd, "reads.fq")
+        if not os.path.exists(fq):
+            with open(fq, "w") as f:
+                for i, r in enumerate(reads):
+                    f.write(f"@r{i}\n{alphabet.decode(r)}\n+\n{'I' * len(r)}\n")
+        if not os.path.exists(os.path.join(wd, "idx.meta")):
+            subprocess.run([builder, "-r", os.path.join(wd, "idx"), "-f", fa],
+                           check=True, timeout=1800, capture_output=True)
+        t0 = time.time()
+        subprocess.run(
+            [binary, "-r", os.path.join(wd, "idx"), "-f", fq,
+             "-o", os.path.join(wd, "out.sam"), "-a", "all", "-e", str(K),
+             "-t", "1", "-p", "uniform", "-S", "kuch1"],
+            check=True, timeout=3600, capture_output=True,
+        )
+        rps = len(reads) / (time.time() - t0)
+        with open(cache, "w") as f:
+            json.dump({"reads_per_sec": rps}, f)
+        return rps
+    except Exception:
+        return None
+
+
+def main():
+    genome, reads = build_workload()
+    arrays = build_index_cached(genome)
+    value = measure_tpu(arrays, reads)
+    ref = measure_reference(genome, reads)
+    vs = (value / ref) if ref else None
+    print(json.dumps({
+        "metric": "reads_per_sec_per_chip_100bp_k2_edit_kuch1_all",
+        "value": round(value, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(vs, 3) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

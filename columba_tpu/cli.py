@@ -1,0 +1,123 @@
+"""Command-line interface: ``build`` (indexer) and ``align`` (mapper).
+
+Mirrors the reference's two binaries (reference: src/buildindex.cpp CLI,
+src/parameters/alignparameters.cpp) with the same core options:
+  build:  -r <index-dir> -f <fasta...> [-s sa-sparseness] [--seed]
+  align:  -r <index-dir> -f <reads> -o <out.sam> [-e dist] [-a all|best]
+          [-m edit|hamming] [-S scheme] [-x best+x] [-I min-identity]
+          [-K batch-size]
+
+Usage: python -m columba_tpu.cli <build|align> ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="columba_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build an index from FASTA file(s)")
+    b.add_argument("-r", "--index", required=True, help="output index dir")
+    b.add_argument("-f", "--fasta", required=True, nargs="+")
+    b.add_argument("-s", "--sa-sparseness", type=int, default=4)
+    b.add_argument("--seed", type=int, default=42,
+                   help="RNG seed for non-ACGT replacement")
+    b.add_argument("--write-preprocessed", action="store_true")
+
+    a = sub.add_parser("align", help="map reads against an index")
+    a.add_argument("-r", "--index", required=True)
+    a.add_argument("-f", "--reads", required=True)
+    a.add_argument("-o", "--output", required=True)
+    a.add_argument("-e", "--max-distance", type=int, default=0,
+                   help="ALL-mode max distance (reference -e)")
+    a.add_argument("-a", "--mode", choices=["all", "best"], default="best")
+    a.add_argument("-m", "--metric", choices=["edit", "hamming"], default="edit")
+    a.add_argument("-S", "--scheme", default="kuch1")
+    a.add_argument("-x", "--best-plus-x", type=int, default=0)
+    a.add_argument("-I", "--min-identity", type=int, default=95)
+    a.add_argument("-K", "--batch-size", type=int, default=512)
+    a.add_argument("--capacity", type=int, default=None)
+
+    args = parser.parse_args(argv)
+    if args.cmd == "build":
+        return cmd_build(args)
+    return cmd_align(args)
+
+
+def cmd_build(args):
+    from columba_tpu.index.build import build_index
+
+    t0 = time.time()
+    arrays = build_index(
+        args.fasta, out_dir=args.index, sa_sparseness=args.sa_sparseness,
+        seed=args.seed, write_preprocessed_fasta=args.write_preprocessed,
+    )
+    print(
+        f"[columba_tpu build] n={arrays.n} seqs={len(arrays.seq_names)} "
+        f"in {time.time()-t0:.1f}s -> {args.index}",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def cmd_align(args):
+    import numpy as np  # noqa: F401
+
+    from columba_tpu.index.build import load_index
+    from columba_tpu.index.fmindex import FMIndex
+    from columba_tpu.io import fastq, sam
+    from columba_tpu.search.strategy import (
+        MappingConfig, emit_sam, map_batch_all, map_batch_best,
+    )
+
+    arrays = load_index(args.index)
+    index = FMIndex.from_arrays(arrays)
+    cfg = MappingConfig(
+        scheme_name=args.scheme,
+        metric=args.metric,
+        mode=args.mode,
+        max_distance=args.max_distance,
+        best_plus_x=args.best_plus_x,
+        min_identity=args.min_identity,
+        capacity=args.capacity,
+    )
+    kb_for = lambda k: k if args.metric == "edit" else 0
+
+    seq_lengths = list(np.diff(arrays.seq_starts))
+    t0 = time.time()
+    n_reads = 0
+    n_mapped = 0
+    with open(args.output, "w") as out:
+        out.write(sam.header(arrays.seq_names, seq_lengths,
+                             command_line=" ".join(sys.argv)))
+        for records, codes in fastq.batches_by_length(
+            fastq.parse_reads(args.reads), args.batch_size
+        ):
+            if args.mode == "all":
+                mapped = map_batch_all(index, codes, cfg)
+                kb = kb_for(cfg.max_distance)
+            else:
+                mapped = map_batch_best(index, codes, cfg)
+                kb = kb_for(4)
+            mapped = mapped[: len(records)]
+            for line in emit_sam(records, mapped, arrays, index, kb,
+                                 mode=args.mode):
+                out.write(line)
+            n_reads += len(records)
+            n_mapped += sum(1 for mr in mapped if mr.occs)
+            rate = n_reads / max(time.time() - t0, 1e-9)
+            print(
+                f"[columba_tpu] {n_reads} reads, {n_mapped} mapped "
+                f"({rate:,.0f} reads/s)",
+                file=sys.stderr,
+            )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,125 @@
+"""SAM output generation (host side).
+
+Mirrors the reference's SAM emission (reference: src/indexhelpers.cpp:56-260
+``TextOcc`` SAM line generation): one line per occurrence with
+``AS:i NM:i PG:Z:Columba``-style tags, flags for strand/secondary, MAPQ
+``-10*log10(1 - 1/n)`` capped at 60, and the header built from sequence
+names/lengths.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from columba_tpu.core import alphabet
+
+MAX_MAPQ = 60  # reference: src/definitions.h
+
+
+def mapq(n_best: int) -> int:
+    """MAPQ = -10 log10(1 - 1/n) capped at 60 (reference indexhelpers.h)."""
+    if n_best <= 1:
+        return MAX_MAPQ
+    v = -10.0 * math.log10(1.0 - 1.0 / n_best)
+    return min(MAX_MAPQ, int(round(v)))
+
+
+def header(seq_names: list[str], seq_lengths: list[int],
+           program_name: str = "ColumbaTPU", version: str = "0.1.0",
+           command_line: str = "") -> str:
+    lines = ["@HD\tVN:1.6\tSO:unsorted"]
+    for name, length in zip(seq_names, seq_lengths):
+        lines.append(f"@SQ\tSN:{name}\tLN:{length}")
+    lines.append(
+        f"@PG\tID:{program_name}\tPN:{program_name}\tVN:{version}"
+        + (f"\tCL:{command_line}" if command_line else "")
+    )
+    return "\n".join(lines) + "\n"
+
+
+def traceback(pattern: np.ndarray, window: np.ndarray, end_col: int,
+              kb: int) -> tuple[int, str, int]:
+    """Host banded DP + traceback for one occurrence.
+
+    pattern: (m,) codes; window: (W,) text codes; end_col: alignment end
+    (exclusive) within window. Returns (begin_col, cigar, ed).
+    Transition preference on ties mirrors a deterministic diag > up > left
+    order (parity with the reference's findCIGAR refined in later rounds;
+    reference: src/bitparallelmatrix.h:450-526).
+    """
+    m = len(pattern)
+    if kb == 0:
+        begin = end_col - m
+        ed = int((pattern != window[begin:end_col]).sum())
+        return begin, f"{m}M", ed
+    # full DP over [max(0,end-m-kb), end)
+    lo = max(0, end_col - m - kb)
+    text = window[lo:end_col]
+    t = len(text)
+    D = np.zeros((m + 1, t + 1), dtype=np.int32)
+    D[:, 0] = np.arange(m + 1)
+    D[0, :] = 0  # free start
+    for j in range(1, m + 1):
+        mis = (text != pattern[j - 1]) | (pattern[j - 1] > 3) | (text > 3)
+        D[j, 1:] = np.minimum(
+            D[j - 1, :-1] + mis, D[j - 1, 1:] + 1
+        )
+        # left scan
+        row = D[j]
+        acc = np.minimum.accumulate(row - np.arange(t + 1))
+        D[j, :] = np.minimum(row, acc + np.arange(t + 1))
+    ed = int(D[m, t])
+    # traceback from (m, t)
+    j, c = m, t
+    ops: list[str] = []
+    while j > 0:
+        mis = 1
+        if c > 0:
+            pc, tc = pattern[j - 1], text[c - 1]
+            mis = 0 if (pc == tc and pc <= 3) else 1
+        if c > 0 and D[j, c] == D[j - 1, c - 1] + mis:
+            ops.append("M")  # matches and mismatches both 'M'
+            j, c = j - 1, c - 1
+        elif D[j, c] == D[j - 1, c] + 1:
+            ops.append("I")  # read char not in reference (insertion to ref)
+            j -= 1
+        elif c > 0 and D[j, c] == D[j, c - 1] + 1:
+            ops.append("D")
+            c -= 1
+        else:  # free start row reached in a corner case
+            break
+    begin = lo + c
+    ops.reverse()
+    # run-length encode
+    cigar = []
+    for op in ops:
+        if cigar and cigar[-1][1] == op:
+            cigar[-1][0] += 1
+        else:
+            cigar.append([1, op])
+    return begin, "".join(f"{n}{op}" for n, op in cigar), ed
+
+
+def record(
+    qname: str,
+    flag: int,
+    rname: str,
+    pos1: int,
+    mq: int,
+    cigar: str,
+    seq_codes: np.ndarray,
+    qual: str,
+    distance: int,
+) -> str:
+    seq = alphabet.decode(seq_codes)
+    return (
+        f"{qname}\t{flag}\t{rname}\t{pos1}\t{mq}\t{cigar}\t*\t0\t0\t"
+        f"{seq}\t{qual}\tAS:i:{distance}\tNM:i:{distance}\tPG:Z:Columba\n"
+    )
+
+
+def unmapped_record(qname: str, seq_codes: np.ndarray, qual: str) -> str:
+    seq = alphabet.decode(seq_codes)
+    return f"{qname}\t4\t*\t0\t0\t*\t*\t0\t0\t{seq}\t{qual}\tPG:Z:Columba\n"

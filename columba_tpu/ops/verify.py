@@ -1,0 +1,92 @@
+"""Batched in-text verification: banded semi-global DP over text windows.
+
+TPU-native analogue of the reference's ``InTextVerificationTask``
+(reference: src/indexhelpers.cpp:517-577, src/fmindex/fmindex.cpp:267-310):
+candidate text positions from locate are verified by aligning the full
+pattern against a text window with a banded DP, free start within the first
+2*kb+1 columns and free end (final-row minima = occurrence end positions,
+the reference's cluster centers in the final matrix column).
+
+Band parametrization: cell (j, d) holds the edit distance of pattern[0:j]
+against window[s:j+d] minimized over allowed starts s in [0, 2kb];
+d in [-kb, 3kb] (axis index a = d + kb, width 4kb+1).
+
+kb=0 (Hamming) degenerates to a single diagonal mismatch count.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from columba_tpu.index.fmindex import FMIndex
+from columba_tpu.ops import rank
+from columba_tpu.search.schedule import INF
+
+
+def gather_window(index: FMIndex, starts: jax.Array, width: int) -> jax.Array:
+    """Text codes (B, width) starting at `starts`; out-of-range -> 4."""
+    n = index.n_arr[0]
+    pos = starts[:, None] + jnp.arange(width, dtype=jnp.int32)[None, :]
+    inb = (pos >= 0) & (pos < n)
+    codes = rank.gather_codes(index.text, jnp.clip(pos, 0, n - 1))
+    return jnp.where(inb, codes, 4)
+
+
+def verify_window(
+    index: FMIndex,
+    patterns: jax.Array,
+    rid: jax.Array,
+    window_start: jax.Array,
+    kb: int,
+) -> jax.Array:
+    """Final DP row for each candidate.
+
+    patterns: (R, m) read codes; rid: (B,) pattern row per candidate;
+    window_start: (B,) text position of window column 0 (= estimated
+    pattern start - kb).
+    Returns (B, 4kb+1) int32: ed of alignments ending at text position
+    window_start + m + (a - kb) for axis index a.
+    """
+    m = patterns.shape[1]
+    bw = 4 * kb + 1
+    W = m + 3 * kb + 1
+    win = gather_window(index, window_start, W)  # (B, W)
+    # pad kb invalid cols in front so row j's diag chars are a static slice
+    B = win.shape[0]
+    winp = jnp.concatenate(
+        [jnp.full((B, kb), 4, win.dtype), win], axis=1
+    )  # (B, W + kb)
+
+    d0 = jnp.full((B, bw), INF, jnp.int32)
+    d0 = d0.at[:, kb:3 * kb + 1].set(0)  # starts s in [0, 2kb]
+
+    pat = patterns[rid]  # (B, m)
+
+    def row(carry, j):
+        D = carry
+        pc = pat[:, j]  # pattern char j (0-based), row j+1
+        # diag chars: window cols (j+1)+d-1 = j+d for d in [-kb,3kb]
+        # -> winp index j+d+kb = j .. j+4kb  (slice width bw at offset j)
+        wc = jax.lax.dynamic_slice_in_dim(winp, j, bw, axis=1)
+        mis = jnp.where(wc == pc[:, None], 0, 1)
+        mis = jnp.where((wc > 3) | (pc[:, None] > 3), 1, mis)  # N mismatches
+        diag = D + mis
+        up = jnp.concatenate(
+            [D[:, 1:], jnp.full((B, 1), INF, jnp.int32)], axis=1
+        ) + 1
+        nl = jnp.minimum(diag, up)
+        if kb > 0:
+            d = nl[:, 0:1]
+            cols = [d]
+            for a in range(1, bw):
+                d = jnp.minimum(nl[:, a:a + 1], d + 1)
+                cols.append(d)
+            nd = jnp.concatenate(cols, axis=1)
+        else:
+            nd = nl
+        nd = jnp.minimum(nd, INF)
+        return nd, None
+
+    D, _ = jax.lax.scan(row, d0, jnp.arange(m))
+    return D

@@ -1,0 +1,249 @@
+"""End-to-end matching pipeline: executor -> locate -> verify -> occurrences.
+
+The TPU-native analogue of the reference's SearchStrategy mapping loop
+(reference: src/searchstrategy.cpp:425-535 ``matchWithSearches`` /
+``matchApproxAllMap``): run the compiled scheme over the frontier, expand
+candidate SA ranges to text positions (two-phase count-then-gather), verify
+in text, and post-process (dedup + redundancy filter) into occurrences.
+
+Device part returns fixed-shape tensors; occurrence extraction runs on host
+(cheap: candidates << reads) — mirroring the reference's split where SAM
+emission is host-side anyway.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from columba_tpu.core import alphabet
+from columba_tpu.index.fmindex import FMIndex
+from columba_tpu.ops import extend, locate, verify
+from columba_tpu.search import executor, schedule
+from columba_tpu.search.scheme import SearchScheme
+
+
+@dataclass
+class Occurrence:
+    """One verified text occurrence of a read."""
+
+    read_id: int
+    strand: int          # 0 fwd, 1 revcomp
+    begin: int           # text start (filled by finalize/traceback)
+    end: int             # text end (exclusive)
+    distance: int
+
+    def key(self):
+        return (self.read_id, self.strand, self.end, self.begin)
+
+
+# ---------------------------------------------------------------------------
+# Device side
+# ---------------------------------------------------------------------------
+
+def match_device_core(
+    index: FMIndex,
+    reads: jax.Array,
+    sched: schedule.Schedule,
+    t_back: jax.Array,
+    pivot: jax.Array,
+    capacity: int,
+    max_locate: int,
+    kb: int,
+):
+    """Device-side match step (unjitted; see also dist.mesh for the
+    shard_map'd multi-chip version)."""
+    res = executor.run_scheme(index, reads, sched, capacity)
+
+    # two-phase expansion: candidate ranges -> flat rows (cap max_locate)
+    widths = jnp.where(res.done, res.ranges[:, 1] - res.ranges[:, 0], 0)
+    offsets = jnp.cumsum(widths)
+    total = offsets[-1]
+    j = jnp.arange(max_locate, dtype=jnp.int32)
+    cand = jnp.searchsorted(offsets, j, side="right").astype(jnp.int32)
+    cand = jnp.clip(cand, 0, widths.shape[0] - 1)
+    base = offsets[cand] - widths[cand]
+    valid = j < jnp.minimum(total, max_locate)
+    rows = jnp.where(valid, res.ranges[cand, 0] + (j - base), 0)
+
+    pos = locate.locate_rows(index, rows)
+    sid = res.sid[cand]
+    est = pos + t_back[sid] - pivot[sid]
+    win_start = est - kb
+    rid = res.rid[cand]
+    final_rows = verify.verify_window(index, reads, rid, win_start, kb)
+
+    return dict(
+        rid=rid,
+        win_start=win_start,
+        final_rows=final_rows,
+        valid=valid,
+        total=total,
+        overflow=res.overflow,
+        nodes_visited=res.nodes_visited,
+    )
+
+
+_match_device = partial(jax.jit, static_argnames=("sched", "capacity", "max_locate", "kb"))(
+    match_device_core
+)
+
+
+# ---------------------------------------------------------------------------
+# Host side
+# ---------------------------------------------------------------------------
+
+_SCHED_CACHE: dict = {}
+
+
+def compile_cached(scheme: SearchScheme, m: int, metric: str) -> schedule.Schedule:
+    key = (scheme, m, metric)
+    if key not in _SCHED_CACHE:
+        _SCHED_CACHE[key] = schedule.compile_schedule(scheme, m, metric=metric)
+    return _SCHED_CACHE[key]
+
+
+def match_all(
+    index: FMIndex,
+    reads_codes: np.ndarray,
+    scheme: SearchScheme,
+    metric: str = "edit",
+    capacity: int | None = None,
+    max_locate: int = 1 << 16,
+    both_strands: bool = True,
+    redundancy_filter: bool = True,
+) -> tuple[list[Occurrence], dict]:
+    """ALL-mode matching of a read batch: every occurrence with ed <= k.
+
+    reads_codes: (R, m) uint8 codes. Returns (occurrences, stats).
+    """
+    R, m = reads_codes.shape
+    k = scheme.k
+    kb = k if metric == "edit" else 0
+    if both_strands:
+        rc = alphabet.revcomp(reads_codes, axis=-1)
+        batch = np.concatenate([reads_codes, rc]).astype(np.int32)
+    else:
+        batch = reads_codes.astype(np.int32)
+
+    if k == 0:
+        return _match_exact(index, batch, R, max_locate)
+
+    sched = compile_cached(scheme, m, metric)
+    if capacity is None:
+        capacity = max(4096, 4 * batch.shape[0] * sched.num_searches)
+    out = _match_device(
+        index,
+        jnp.asarray(batch),
+        sched,
+        jnp.asarray(sched.t_back),
+        jnp.asarray(sched.pivot),
+        int(capacity),
+        int(max_locate),
+        kb,
+    )
+    out = {kk: np.asarray(v) for kk, v in out.items()}
+    stats = dict(
+        total_candidates=int(out["total"]),
+        overflow=int(out["overflow"]),
+        nodes_visited=int(out["nodes_visited"]),
+        locate_truncated=bool(out["total"] > max_locate),
+    )
+
+    occs = _extract_occurrences(out, R, m, k, kb, redundancy_filter)
+    return occs, stats
+
+
+def _match_exact(index, batch, R, max_locate):
+    """k=0 fast path: plain backward exact match + locate."""
+    ranges = np.asarray(extend.exact_match(index, jnp.asarray(batch)))
+    m = batch.shape[1]
+    occs = []
+    rows_all, rids = [], []
+    for i in range(batch.shape[0]):
+        lo, hi = int(ranges[i, 0]), int(ranges[i, 1])
+        for r in range(lo, hi):
+            rows_all.append(r)
+            rids.append(i)
+    total = len(rows_all)
+    if rows_all:
+        rows_all = rows_all[:max_locate]
+        pos = np.asarray(locate.locate_rows(index, jnp.asarray(np.array(rows_all, dtype=np.int32))))
+        for p, i in zip(pos, rids[:max_locate]):
+            occs.append(
+                Occurrence(
+                    read_id=i % R, strand=i // R,
+                    begin=int(p), end=int(p) + m, distance=0,
+                )
+            )
+    occs.sort(key=lambda o: o.key())
+    stats = dict(total_candidates=total, overflow=0, nodes_visited=0,
+                 locate_truncated=total > max_locate)
+    return occs, stats
+
+
+def _extract_occurrences(out, R, m, k, kb, redundancy_filter=True) -> list[Occurrence]:
+    """Final-row cluster centers -> dedup'd occurrences.
+
+    Mirrors the reference's cluster-center reporting + unique filter
+    (src/indexhelpers.cpp:276-382 cluster centers;
+    src/indexinterface.cpp:1373-1491 getUniqueTextOccurrences).
+    """
+    valid = out["valid"]
+    rows = out["final_rows"]
+    seen = {}
+    for i in np.nonzero(valid)[0]:
+        row = rows[i]
+        bw = len(row)
+        for a in range(bw):
+            v = int(row[a])
+            if v > k:
+                continue
+            left = int(row[a - 1]) if a > 0 else 127
+            right = int(row[a + 1]) if a < bw - 1 else 127
+            if v > left or v > right:
+                continue  # not a local minimum
+            if v == left and a > 0:
+                continue  # report leftmost of a plateau only
+            end = int(out["win_start"][i]) + m + (a - kb)
+            key = (int(out["rid"][i]), end)
+            if key not in seen or seen[key] > v:
+                seen[key] = v
+    occs = []
+    for (rid, end), ed in seen.items():
+        occs.append(
+            Occurrence(
+                read_id=rid % R, strand=rid // R,
+                begin=end - m, end=end, distance=ed,  # begin refined later
+            )
+        )
+    if redundancy_filter:
+        occs = _redundancy_filter(occs, k)
+    occs.sort(key=lambda o: o.key())
+    return occs
+
+
+def _redundancy_filter(occs: list[Occurrence], k: int) -> list[Occurrence]:
+    """Among occurrences of the same read/strand with nearby ends, keep the
+    best (reference: src/indexinterface.cpp:1451-1485, window 2*maxED)."""
+    byread: dict = {}
+    for o in occs:
+        byread.setdefault((o.read_id, o.strand), []).append(o)
+    kept = []
+    for group in byread.values():
+        group.sort(key=lambda o: (o.end, o.distance))
+        cluster: list[Occurrence] = []
+        for o in group:
+            if cluster and o.end - cluster[-1].end <= max(1, 2 * k) - 1:
+                cluster.append(o)
+            else:
+                if cluster:
+                    kept.append(min(cluster, key=lambda x: (x.distance, x.end)))
+                cluster = [o]
+        if cluster:
+            kept.append(min(cluster, key=lambda x: (x.distance, x.end)))
+    return kept

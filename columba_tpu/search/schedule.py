@@ -1,0 +1,261 @@
+"""Compile a search scheme into a static lockstep step schedule.
+
+The reference executes searches as a per-read recursive DFS with per-phase
+banded matrices and cluster-seeded direction switches
+(reference: src/indexinterface.cpp:377-527 ``recApproxMatchEdit``). That
+shape (data-dependent recursion, per-node matrices) cannot map to a TPU.
+
+This module re-derives the same lossless semantics as a **lockstep two-band
+frontier program**:
+
+* A search's text path always grows one character per step, alternating
+  sides (backward/left, forward/right of a fixed *pivot*) according to the
+  phase order π. The pivot is the edge of the first part where matching
+  starts.
+* Per node we keep TWO banded edit-distance bands, one per side:
+  ``D_side[o]`` holds the banded-DP cell ``D[t][t - kb + o]`` (t = side text
+  depth, j = t-kb+o = #pattern chars of that side consumed, band radius kb).
+  Because the two sides align disjoint pattern substrings, the combined
+  distance is ``min_j (D_back[j] + D_fwd[j'])`` and each side's DP is
+  independent of the interleaving order — direction switches need no
+  matrix re-seeding at all (the band simply continues when a later phase
+  returns to a side). This replaces the reference's cluster machinery
+  (src/indexhelpers.h:1743-1838).
+* To capture alignments that consume MORE text than pattern on a side
+  (insertions at a phase boundary), each side overshoots every phase extent
+  by kb extra rows; a per-side running minimum ``colMin`` accumulates the
+  exact column minimum ``min_t D[t][extent]`` over the rows
+  ``t in [extent-kb, extent+kb]``. ``colMin`` is the side's exact
+  completion distance at its current extent:
+    - pruning: ``min(rowMin_active, colMin_active) + colMin_frozen > U_phase``
+      kills a node (both terms are monotone lower bounds, and for any
+      occurrence covered by the search, colMin_back+colMin_fwd <= errors in
+      processed parts <= U_phase — so no covered occurrence is lost);
+    - completion: at the final step, ``colMin_back + colMin_fwd <= U_last``.
+* Leading U=0 phases are executed as plain exact extension (fan-out 1, no
+  band) — the analogue of the reference's exact-prefix fast path
+  (src/searchstrategy.cpp:1181-1254 ``doRecSearch``).
+
+Everything data-dependent is reduced to per-(search, step) lookup tables;
+the executor (search/executor.py) runs them inside one lax.scan.
+
+Hamming distance is the kb=0 special case (band width 1, no overshoot).
+
+Constraint of the overshoot construction: every part must be longer than
+2*kb (checked here). Holds for all bundled schemes at typical read lengths.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from columba_tpu.search.scheme import BACKWARD, FORWARD, SearchScheme
+
+INF = 63  # band infinity (int8-safe; > any k and < overflow after +1s)
+
+
+@dataclass(frozen=True, eq=False)  # id-hash: usable as a jit static arg
+class Schedule:
+    """Static lockstep tables for one (scheme, pattern length, partition)."""
+
+    k: int
+    kb: int                  # band radius (k for edit, 0 for hamming)
+    m: int                   # pattern length
+    num_searches: int
+    e_max: int               # exact-prefix steps (padded)
+    t_max: int               # band steps (end-aligned, padded)
+    # exact prefix tables (S, e_max)
+    ex_pos: np.ndarray       # absolute read position to match, or -1 idle
+    ex_dir: np.ndarray       # 0 backward / 1 forward
+    # band step tables (S, t_max)
+    active: np.ndarray       # bool: does search s run at step t
+    side: np.ndarray         # 0 back / 1 fwd
+    ub: np.ndarray           # U bound after this step
+    colo: np.ndarray         # band cell to accumulate into colMin, or -1
+    creset: np.ndarray       # reset colMin before accumulating
+    # band cell tables (S, t_max, BW)
+    posw: np.ndarray         # absolute read pos of the diag char, or 0
+    mvalid: np.ndarray       # diag (match/mismatch) transition allowed
+    cvalid: np.ndarray       # cell within [0, side_len]
+    # per search (S,)
+    u_last: np.ndarray
+    t_back: np.ndarray       # final back-side text depth (incl. overshoot)
+    pivot: np.ndarray
+    colmin_init: np.ndarray  # (S, 2) initial colMin per side
+
+    @property
+    def bw(self) -> int:
+        return 2 * self.kb + 1
+
+
+def uniform_partition(m: int, p: int) -> np.ndarray:
+    """Uniform part boundaries (reference: src/searchstrategy.cpp:194-209)."""
+    return np.array([(i * m) // p for i in range(p + 1)], dtype=np.int64)
+
+
+def compile_schedule(
+    scheme: SearchScheme,
+    m: int,
+    partition: np.ndarray | None = None,
+    metric: str = "edit",
+) -> Schedule:
+    k = scheme.k
+    kb = k if metric == "edit" else 0
+    bw = 2 * kb + 1
+    p = scheme.num_parts
+    pts = uniform_partition(m, p) if partition is None else np.asarray(partition)
+    assert len(pts) == p + 1 and pts[0] == 0 and pts[-1] == m
+    part_lens = np.diff(pts)
+    if kb > 0 and part_lens.min() <= 2 * kb:
+        raise ValueError(
+            f"part length {part_lens.min()} <= 2*k={2*kb}: pattern too short "
+            f"for {p} parts at k={k} (read length {m})"
+        )
+
+    S = len(scheme.searches)
+    per_search = []
+    for s in scheme.searches:
+        per_search.append(_compile_one(s, pts, kb))
+
+    e_max = max(len(ps["ex_pos"]) for ps in per_search)
+    t_max = max(len(ps["side"]) for ps in per_search)
+
+    ex_pos = np.full((S, e_max), -1, dtype=np.int32)
+    ex_dir = np.zeros((S, e_max), dtype=np.int32)
+    active = np.zeros((S, t_max), dtype=bool)
+    side = np.zeros((S, t_max), dtype=np.int32)
+    ub = np.full((S, t_max), k, dtype=np.int32)
+    colo = np.full((S, t_max), -1, dtype=np.int32)
+    creset = np.zeros((S, t_max), dtype=bool)
+    posw = np.zeros((S, t_max, bw), dtype=np.int32)
+    mvalid = np.zeros((S, t_max, bw), dtype=bool)
+    cvalid = np.zeros((S, t_max, bw), dtype=bool)
+    u_last = np.zeros(S, dtype=np.int32)
+    t_back = np.zeros(S, dtype=np.int32)
+    pivot = np.zeros(S, dtype=np.int32)
+    colmin_init = np.zeros((S, 2), dtype=np.int32)
+
+    for i, ps in enumerate(per_search):
+        e = len(ps["ex_pos"])
+        ex_pos[i, :e] = ps["ex_pos"]
+        ex_dir[i, :e] = ps["ex_dir"]
+        t = len(ps["side"])
+        off = t_max - t  # end-aligned
+        active[i, off:] = True
+        side[i, off:] = ps["side"]
+        ub[i, off:] = ps["ub"]
+        colo[i, off:] = ps["colo"]
+        creset[i, off:] = ps["creset"]
+        posw[i, off:] = ps["posw"]
+        mvalid[i, off:] = ps["mvalid"]
+        cvalid[i, off:] = ps["cvalid"]
+        u_last[i] = ps["u_last"]
+        t_back[i] = ps["t_back"]
+        pivot[i] = ps["pivot"]
+        colmin_init[i] = ps["colmin_init"]
+
+    return Schedule(
+        k=k, kb=kb, m=m, num_searches=S, e_max=e_max, t_max=t_max,
+        ex_pos=ex_pos, ex_dir=ex_dir, active=active, side=side, ub=ub,
+        colo=colo, creset=creset, posw=posw, mvalid=mvalid, cvalid=cvalid,
+        u_last=u_last, t_back=t_back, pivot=pivot, colmin_init=colmin_init,
+    )
+
+
+def _compile_one(search, pts, kb):
+    """Per-search schedule: exact prefix steps + band steps."""
+    p = search.num_parts
+    dirs = search.directions
+    pi0 = search.pi[0]
+    piv = int(pts[pi0] if dirs[0] == FORWARD else pts[pi0 + 1])
+    m = int(pts[-1])
+    side_len = {0: piv, 1: m - piv}  # back / fwd pattern lengths
+
+    # per-phase side extents
+    extents = []  # (back_extent, fwd_extent) after each phase
+    for lo, hi in search.part_extent:
+        extents.append((piv - int(pts[lo]), int(pts[hi + 1]) - piv))
+
+    n_exact = search.num_exact_prefix_phases
+    # ---- exact prefix: pattern positions consumed, in order ----
+    ex_pos, ex_dir = [], []
+    b_prev, f_prev = 0, 0
+    for i in range(n_exact):
+        be, fe = extents[i]
+        if dirs[i] == BACKWARD:
+            for j in range(b_prev + 1, be + 1):  # j-th back char = pos piv-j
+                ex_pos.append(piv - j)
+                ex_dir.append(0)
+        else:
+            for j in range(f_prev + 1, fe + 1):  # j-th fwd char = pos piv+j-1
+                ex_pos.append(piv + j - 1)
+                ex_dir.append(1)
+        b_prev, f_prev = be, fe
+
+    # exact depths after the prefix
+    depth = [b_prev, f_prev]
+    exact_extent = (b_prev, f_prev)
+
+    # ---- band phases ----
+    side_l, ubv, colo, creset = [], [], [], []
+    posw, mvalid, cvalid = [], [], []
+
+    def emit_row(sd, t_new, u, extent_target, window_start):
+        """One band row at depth t_new on side sd, phase extent target."""
+        side_l.append(sd)
+        ubv.append(u)
+        in_window = t_new >= extent_target - kb
+        o_acc = extent_target - t_new + kb  # cell with j == extent_target
+        if in_window and 0 <= o_acc < 2 * kb + 1:
+            colo.append(o_acc)
+            creset.append(t_new == max(window_start, extent_target - kb))
+        else:
+            colo.append(-1)
+            creset.append(False)
+        row_pos = np.zeros(2 * kb + 1, dtype=np.int32)
+        row_mv = np.zeros(2 * kb + 1, dtype=bool)
+        row_cv = np.zeros(2 * kb + 1, dtype=bool)
+        for o in range(2 * kb + 1):
+            j = t_new - kb + o
+            if 0 <= j <= side_len[sd]:
+                row_cv[o] = True
+                if j >= 1:
+                    row_mv[o] = True
+                    row_pos[o] = piv - j if sd == 0 else piv + j - 1
+        posw.append(row_pos)
+        mvalid.append(row_mv)
+        cvalid.append(row_cv)
+
+    for i in range(n_exact, p):
+        sd = 0 if dirs[i] == BACKWARD else 1
+        be, fe = extents[i]
+        target = be if sd == 0 else fe
+        goal = min(target + kb, side_len[sd] + kb)
+        window_start = depth[sd] + 1
+        while depth[sd] < goal:
+            depth[sd] += 1
+            emit_row(sd, depth[sd], search.upper[i], target, window_start)
+
+    # After the exact prefix each side's current extent is matched exactly,
+    # so its completion minimum at that extent is 0. A side's first band
+    # window resets and re-accumulates before the value is ever needed at a
+    # larger extent; meanwhile the stale 0 only loosens pruning (safe).
+    colmin_init = np.zeros(2, dtype=np.int32)
+
+    return dict(
+        ex_pos=np.array(ex_pos, dtype=np.int32),
+        ex_dir=np.array(ex_dir, dtype=np.int32),
+        side=np.array(side_l, dtype=np.int32),
+        ub=np.array(ubv, dtype=np.int32),
+        colo=np.array(colo, dtype=np.int32),
+        creset=np.array(creset, dtype=bool),
+        posw=np.array(posw, dtype=np.int32).reshape(-1, 2 * kb + 1),
+        mvalid=np.array(mvalid, dtype=bool).reshape(-1, 2 * kb + 1),
+        cvalid=np.array(cvalid, dtype=bool).reshape(-1, 2 * kb + 1),
+        u_last=search.upper[-1],
+        t_back=depth[0],
+        pivot=piv,
+        colmin_init=colmin_init,
+    )

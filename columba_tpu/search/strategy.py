@@ -1,0 +1,175 @@
+"""Mapping strategies: single-end ALL and BEST(+x) modes over read batches.
+
+The TPU-native analogue of the reference's ``SearchStrategy`` mapping modes
+(reference: src/searchstrategy.cpp:495-535 ``matchApproxAllMap``,
+:623-744 ``findBestAlignments``/``matchApproxBestPlusX``): ALL mode reports
+every occurrence with ed <= k; BEST mode walks distance strata (with the
+reference's stratum jumps: step 2 below distance 5, else 4) until the best
+stratum is found, then reports occurrences within [best, best + x].
+
+Strata run on the whole batch with per-read resolved masking — the batched
+substitute for the reference's per-read early exit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from columba_tpu.core import alphabet
+from columba_tpu.index.build import IndexArrays, unpack_2bit
+from columba_tpu.index.fmindex import FMIndex
+from columba_tpu.io import sam
+from columba_tpu.search import pipeline
+from columba_tpu.search.scheme import get_scheme
+
+BEST_CUTOFF = 13  # reference BEST_CUTOFF_COLUMBA (src/definitions.h)
+
+
+def get_max_ed(min_identity: int, seq_size: int, max_supported: int = 4) -> int:
+    """reference: src/searchstrategy.h:1797-1806."""
+    cutoff = (seq_size * (100 - min_identity)) // 100
+    return min(BEST_CUTOFF, max_supported, cutoff)
+
+
+@dataclass
+class MappingConfig:
+    scheme_name: str = "kuch1"
+    metric: str = "edit"
+    mode: str = "best"        # "all" | "best"
+    max_distance: int = 2     # ALL mode k (reference -e)
+    best_plus_x: int = 0      # BEST +x strata
+    min_identity: int = 95
+    max_scheme_k: int = 4     # highest k the chosen scheme family supports
+    capacity: int | None = None
+    max_locate: int = 1 << 16
+
+
+@dataclass
+class MappedRead:
+    """Final mapping result of one read."""
+
+    occs: list = field(default_factory=list)  # list[pipeline.Occurrence]
+    best: int | None = None
+    n_best: int = 0
+
+
+def map_batch_all(
+    index: FMIndex, reads: np.ndarray, cfg: MappingConfig
+) -> list[MappedRead]:
+    scheme = get_scheme(cfg.scheme_name, cfg.max_distance)
+    occs, stats = pipeline.match_all(
+        index, reads, scheme, metric=cfg.metric,
+        capacity=cfg.capacity, max_locate=cfg.max_locate,
+    )
+    out = [MappedRead() for _ in range(len(reads))]
+    for o in occs:
+        out[o.read_id].occs.append(o)
+    for mr in out:
+        if mr.occs:
+            mr.best = min(o.distance for o in mr.occs)
+            mr.n_best = sum(1 for o in mr.occs if o.distance == mr.best)
+    return out
+
+
+def map_batch_best(
+    index: FMIndex, reads: np.ndarray, cfg: MappingConfig
+) -> list[MappedRead]:
+    R, m = reads.shape
+    cutoff = get_max_ed(cfg.min_identity, m, cfg.max_scheme_k)
+    x = cfg.best_plus_x
+    out = [MappedRead() for _ in range(R)]
+    best = np.full(R, cutoff + 1, dtype=np.int64)
+    collected: list[list] = [[] for _ in range(R)]
+
+    def run_stratum(k: int):
+        scheme = get_scheme(cfg.scheme_name, k)
+        occs, _ = pipeline.match_all(
+            index, reads, scheme, metric=cfg.metric,
+            capacity=cfg.capacity, max_locate=cfg.max_locate,
+        )
+        for o in occs:
+            collected[o.read_id].append(o)
+            if o.distance < best[o.read_id]:
+                best[o.read_id] = o.distance
+
+    run_stratum(0)
+    k, prev_k = max(x, 1), 0
+    while True:
+        unresolved = best > cutoff
+        need_more = unresolved | (best + x > prev_k)
+        if not need_more.any() or prev_k >= cutoff:
+            break
+        if k > cutoff:
+            break
+        run_stratum(k)
+        prev_k = k
+        if (best <= cutoff).all():
+            # everyone found something; still need the +x strata
+            target = int(min(int(best.max()) + x, cutoff))
+            if prev_k >= target:
+                break
+            k = target
+        else:
+            step = 2 if k < 5 else 4
+            k = min(k + x + step, cutoff)
+
+    for i in range(R):
+        if best[i] > cutoff:
+            continue
+        hi = min(best[i] + x, cutoff)
+        occs = [o for o in collected[i] if best[i] <= o.distance <= hi]
+        # dedup across strata
+        seen = {}
+        for o in occs:
+            key = (o.strand, o.end)
+            if key not in seen or seen[key].distance > o.distance:
+                seen[key] = o
+        mr = out[i]
+        mr.occs = sorted(seen.values(), key=lambda o: o.key())
+        mr.best = int(best[i])
+        mr.n_best = sum(1 for o in mr.occs if o.distance == mr.best)
+    return out
+
+
+def emit_sam(
+    records,
+    mapped: list[MappedRead],
+    arrays: IndexArrays,
+    index: FMIndex,
+    kb: int,
+    mode: str = "best",
+) -> list[str]:
+    """SAM lines for a batch (primary = best occurrence, others secondary)."""
+    genome = unpack_2bit(arrays.text, arrays.n)
+    starts = arrays.seq_starts
+    lines = []
+    for rec, mr in zip(records, mapped):
+        if not mr.occs:
+            lines.append(sam.unmapped_record(rec.name, rec.codes, rec.qual))
+            continue
+        occs = sorted(mr.occs, key=lambda o: (o.distance, o.begin, o.strand))
+        mq = sam.mapq(mr.n_best)
+        for rank_i, o in enumerate(occs):
+            seq_codes = rec.codes if o.strand == 0 else alphabet.revcomp(rec.codes)
+            qual = rec.qual if o.strand == 0 else rec.qual[::-1]
+            # refine begin + CIGAR by host traceback around the end
+            w_lo = max(0, o.end - len(rec.codes) - kb)
+            window = genome[w_lo:o.end]
+            begin, cigar, ed = sam.traceback(
+                seq_codes, window, len(window), kb
+            )
+            begin += w_lo
+            # sequence assignment
+            sidx = int(np.searchsorted(starts, begin, side="right") - 1)
+            sidx = max(0, min(sidx, len(arrays.seq_names) - 1))
+            pos1 = begin - int(starts[sidx]) + 1
+            flag = (16 if o.strand else 0) | (256 if rank_i > 0 else 0)
+            lines.append(
+                sam.record(
+                    rec.name, flag, arrays.seq_names[sidx], pos1,
+                    mq if rank_i == 0 else 0, cigar, seq_codes, qual, ed,
+                )
+            )
+    return lines

@@ -3,12 +3,19 @@ tests run on a virtual mesh; real-TPU runs happen via bench.py / CLI)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The container env pins JAX_PLATFORMS=axon (real TPU via tunnel) and a
+# sitecustomize pre-imports jax, so plain env vars are not enough: force the
+# CPU backend through the config API as well.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,142 @@
+"""End-to-end conformance of the matching pipeline vs brute force.
+
+The reference's own conformance methodology is byte-for-byte output
+comparison (SURVEY.md §4); here the oracle is a numpy brute force over the
+small test genome:
+  - Hamming ALL mode: exact set equality of (read, strand, begin, dist).
+  - Edit ALL mode: losslessness (every brute-force occurrence region is
+    reported with the right distance) + soundness (every report verifies).
+"""
+
+import numpy as np
+import pytest
+
+from columba_tpu.core import alphabet
+from columba_tpu.index.fmindex import FMIndex
+from columba_tpu.search import pipeline
+from columba_tpu.search.scheme import get_scheme
+
+from tests.conftest import sample_reads
+
+
+@pytest.fixture(scope="module")
+def fm(small_index):
+    genome, arrays = small_index
+    return genome, FMIndex.from_arrays(arrays)
+
+
+def brute_hamming(genome, read, k):
+    """All (begin, dist<=k) of read against genome (one strand)."""
+    m = len(read)
+    win = np.lib.stride_tricks.sliding_window_view(genome, m)
+    dists = (win != read).sum(axis=1)
+    hits = np.nonzero(dists <= k)[0]
+    return {(int(p), int(dists[p])) for p in hits}
+
+
+def brute_edit_ends(genome, read, k):
+    """(end, dist) pairs: best semi-global ED of read ending at each text
+    position, local minima only — the same occurrence semantics the
+    pipeline reports."""
+    m = len(read)
+    n = len(genome)
+    prev = np.zeros(n + 1, dtype=np.int32)  # D[0][*] = 0 (free start)
+    rows = [prev]
+    for j in range(1, m + 1):
+        cur = np.empty(n + 1, dtype=np.int32)
+        cur[0] = j
+        mis = (genome != read[j - 1]).astype(np.int32)
+        # vectorized: diag/up then left-scan via cummin trick
+        best = np.minimum(prev[:-1] + mis, prev[1:] + 1)
+        # left scan: cur[c] = min(best[c-1-ish]...) sequential -> use np.minimum.accumulate
+        tmp = best - np.arange(1, n + 1)
+        np.minimum.accumulate(tmp, out=tmp)
+        cur[1:] = np.minimum(best, tmp + np.arange(1, n + 1))
+        # include the j (all-deletions) start column effect
+        cur[1:] = np.minimum(cur[1:], j)
+        prev = cur
+    final = prev[1:]  # ed of alignment ending at position c (end = c)
+    out = set()
+    for c in range(n):
+        v = final[c]
+        if v > k:
+            continue
+        left = final[c - 1] if c > 0 else 127
+        right = final[c + 1] if c < n - 1 else 127
+        if v > left or v > right:
+            continue
+        if c > 0 and v == left:
+            continue
+        out.add((c + 1, int(v)))
+    return out
+
+
+@pytest.mark.parametrize("name,k", [("pigeon", 1), ("pigeon", 2), ("kuch1", 2)])
+def test_hamming_all_vs_brute(fm, rng, name, k):
+    genome, index = fm
+    reads = sample_reads(rng, genome, num=12, length=60, max_err=k)
+    occs, stats = pipeline.match_all(
+        index, reads, get_scheme(name, k), metric="hamming",
+        redundancy_filter=False,
+    )
+    assert stats["overflow"] == 0
+    got = {(o.read_id, o.strand, o.begin, o.distance) for o in occs}
+    expect = set()
+    for i, r in enumerate(reads):
+        for strand, rr in ((0, r), (1, alphabet.revcomp(r))):
+            for p, d in brute_hamming(genome, rr, k):
+                expect.add((i, strand, p, d))
+    assert got == expect
+
+
+@pytest.mark.parametrize("name,k", [
+    ("kuch1", 1), ("kuch1", 2), ("kuch1", 3),
+    ("pigeon", 2), ("kianfar", 2), ("01*0", 2), ("kuch2", 2),
+])
+def test_edit_all_vs_brute(fm, rng, name, k):
+    genome, index = fm
+    reads = sample_reads(rng, genome, num=10, length=72, max_err=k, edits=True)
+    occs, stats = pipeline.match_all(
+        index, reads, get_scheme(name, k), metric="edit",
+        redundancy_filter=False,
+    )
+    assert stats["overflow"] == 0
+    got = {(o.read_id, o.strand, o.end, o.distance) for o in occs}
+    expect = set()
+    for i, r in enumerate(reads):
+        for strand, rr in ((0, r), (1, alphabet.revcomp(r))):
+            for e, d in brute_edit_ends(genome, rr, k):
+                expect.add((i, strand, e, d))
+    missing = expect - got
+    spurious = got - expect
+    assert not missing, f"lost occurrences: {sorted(missing)[:10]}"
+    assert not spurious, f"spurious occurrences: {sorted(spurious)[:10]}"
+
+
+def test_exact_mode(fm, rng):
+    genome, index = fm
+    reads = sample_reads(rng, genome, num=16, length=50, max_err=0)
+    occs, stats = pipeline.match_all(index, reads, get_scheme("kuch1", 0))
+    got = {(o.read_id, o.strand, o.begin) for o in occs}
+    expect = set()
+    for i, r in enumerate(reads):
+        for strand, rr in ((0, r), (1, alphabet.revcomp(r))):
+            for p, d in brute_hamming(genome, rr, 0):
+                expect.add((i, strand, p))
+    assert got == expect
+
+
+def test_naive_scheme_edit(fm, rng):
+    genome, index = fm
+    reads = sample_reads(rng, genome, num=4, length=40, max_err=1, edits=True)
+    occs, _ = pipeline.match_all(
+        index, reads, get_scheme("naive", 1), metric="edit",
+        redundancy_filter=False, capacity=1 << 15,
+    )
+    got = {(o.read_id, o.strand, o.end, o.distance) for o in occs}
+    expect = set()
+    for i, r in enumerate(reads):
+        for strand, rr in ((0, r), (1, alphabet.revcomp(r))):
+            for e, d in brute_edit_ends(genome, rr, 1):
+                expect.add((i, strand, e, d))
+    assert got == expect

@@ -1,0 +1,96 @@
+"""Search-scheme model: parsing, validation, coverage (validity checker)."""
+
+import numpy as np
+import pytest
+
+from columba_tpu.search import schedule
+from columba_tpu.search.scheme import (
+    BACKWARD,
+    FORWARD,
+    Search,
+    get_scheme,
+    parse_search_line,
+    pigeonhole_scheme,
+)
+
+
+def test_parse_and_str_roundtrip():
+    s = parse_search_line("{1,0,2} {0,0,1} {0,1,2}")
+    assert s.pi == (1, 0, 2)
+    assert s.lower == (0, 0, 1)
+    assert s.upper == (0, 1, 2)
+    assert str(s) == "{1,0,2} {0,0,1} {0,1,2}"
+
+
+def test_directions():
+    s = parse_search_line("{1,0,2} {0,0,1} {0,1,2}")
+    # phase 0 copies phase 1 (backward), then forward
+    assert s.directions == (BACKWARD, BACKWARD, FORWARD)
+    s2 = parse_search_line("{0,1,2} {0,0,0} {0,2,2}")
+    assert s2.directions == (FORWARD, FORWARD, FORWARD)
+
+
+def test_invalid_searches():
+    with pytest.raises(ValueError):
+        Search((0, 2, 1), (0, 0, 0), (0, 1, 1))  # not connected
+    with pytest.raises(ValueError):
+        Search((1, 1, 0), (0, 0, 0), (0, 1, 1))  # not a permutation
+    with pytest.raises(ValueError):
+        Search((0, 1), (0, 1), (1, 0))  # U decreasing
+    with pytest.raises(ValueError):
+        Search((0, 1), (1, 0), (1, 1))  # L decreasing
+
+
+@pytest.mark.parametrize("name", ["kuch1", "kuch2", "kianfar", "01*0", "pigeon"])
+@pytest.mark.parametrize("k", [1, 2, 3, 4])
+def test_bundled_schemes_lossless(name, k):
+    scheme = get_scheme(name, k)
+    assert scheme.is_valid(), scheme.uncovered_distributions()[:5]
+    assert all(s.max_errors == k for s in [scheme.searches[scheme.critical_search_index]])
+
+
+def test_invalid_scheme_detected():
+    from columba_tpu.search.scheme import SearchScheme
+
+    # pigeonhole missing one search cannot cover all distributions
+    full = pigeonhole_scheme(2)
+    broken = SearchScheme(full.searches[:-1], k=2)
+    assert not broken.is_valid()
+
+
+def test_schedule_compiles_for_all_bundled():
+    for name in ["kuch1", "kuch2", "kianfar", "01*0", "pigeon"]:
+        for k in [1, 2, 3, 4]:
+            sch = get_scheme(name, k)
+            for metric in ("edit", "hamming"):
+                sd = schedule.compile_schedule(sch, 100, metric=metric)
+                kb = k if metric == "edit" else 0
+                assert sd.bw == 2 * kb + 1
+                # every search's band steps cover the full pattern + overshoot
+                for i, s in enumerate(sch.searches):
+                    active_steps = int(sd.active[i].sum())
+                    exact_steps = int((sd.ex_pos[i] >= 0).sum())
+                    side_ov = (
+                        (kb if sd.t_back[i] != sd.pivot[i] else 0)
+                        + (kb if (active_steps + exact_steps)
+                           - (100 + (kb if sd.t_back[i] != sd.pivot[i] else 0)) > 0 else 0)
+                    )
+                    assert exact_steps + active_steps >= 100
+                    assert exact_steps + active_steps <= 100 + 2 * kb
+
+
+def test_schedule_exact_prefix_positions():
+    sch = get_scheme("pigeon", 1)  # 2 parts, m=10 -> parts [0,5) [5,10)
+    sd = schedule.compile_schedule(sch, 10, metric="hamming")
+    # search 0: pi=(0,1) fwd: exact part 0 = positions 0..4 in order
+    np.testing.assert_array_equal(sd.ex_pos[0][:5], np.arange(5))
+    assert sd.pivot[0] == 0
+    # search 1: pi=(1,0) backward: exact part 1 = positions 9..5
+    np.testing.assert_array_equal(sd.ex_pos[1][:5], np.arange(9, 4, -1))
+    assert sd.pivot[1] == 10
+
+
+def test_part_too_short_raises():
+    sch = get_scheme("pigeon", 4)  # 5 parts
+    with pytest.raises(ValueError):
+        schedule.compile_schedule(sch, 40, metric="edit")  # parts of 8 = 2k
