@@ -142,8 +142,7 @@ def run_scheme(
         )
 
     alive0 = ranges0[:, 1] > ranges0[:, 0]
-    band_init = jnp.full((R * S, 2, bw), INF, dtype=jnp.int32)
-    band_init = band_init.at[:, :, sched.kb].set(0)
+    band_init = jnp.asarray(sched.band_init)[sid0]  # (R*S, 2, BW)
     state = dict(
         ranges=pad(ranges0),
         rid=pad(rid0),

@@ -84,6 +84,7 @@ class Schedule:
     t_back: np.ndarray       # final back-side text depth (incl. overshoot)
     pivot: np.ndarray
     colmin_init: np.ndarray  # (S, 2) initial colMin per side
+    band_init: np.ndarray    # (S, 2, BW) initial band rows after exact prefix
 
     @property
     def bw(self) -> int:
@@ -129,6 +130,7 @@ def compile_schedule(
     ub = np.full((S, t_max), k, dtype=np.int32)
     colo = np.full((S, t_max), -1, dtype=np.int32)
     creset = np.zeros((S, t_max), dtype=bool)
+    band_init = np.full((S, 2, bw), INF, dtype=np.int32)
     posw = np.zeros((S, t_max, bw), dtype=np.int32)
     mvalid = np.zeros((S, t_max, bw), dtype=bool)
     cvalid = np.zeros((S, t_max, bw), dtype=bool)
@@ -155,12 +157,14 @@ def compile_schedule(
         t_back[i] = ps["t_back"]
         pivot[i] = ps["pivot"]
         colmin_init[i] = ps["colmin_init"]
+        band_init[i] = ps["band_init"]
 
     return Schedule(
         k=k, kb=kb, m=m, num_searches=S, e_max=e_max, t_max=t_max,
         ex_pos=ex_pos, ex_dir=ex_dir, active=active, side=side, ub=ub,
         colo=colo, creset=creset, posw=posw, mvalid=mvalid, cvalid=cvalid,
         u_last=u_last, t_back=t_back, pivot=pivot, colmin_init=colmin_init,
+        band_init=band_init,
     )
 
 
@@ -244,6 +248,20 @@ def _compile_one(search, pts, kb):
     # larger extent; meanwhile the stale 0 only loosens pruning (safe).
     colmin_init = np.zeros(2, dtype=np.int32)
 
+    # Initial band row per side at depth t0 (= exact extent): the exact DP
+    # values D[t0][j] = |j - t0| for valid j (the first t0 text chars equal
+    # the first t0 pattern chars, so the best alignment to j pattern chars
+    # pads with |j - t0| indels). Cells outside [0, side_len] are INF.
+    # A diagonal-only init would overcount alignments that start with
+    # pattern-insertions at a side boundary and wrongly prune them.
+    band_init = np.full((2, 2 * kb + 1), INF, dtype=np.int32)
+    for sd in (0, 1):
+        t0 = exact_extent[sd]
+        for o in range(2 * kb + 1):
+            j = t0 - kb + o
+            if 0 <= j <= side_len[sd]:
+                band_init[sd, o] = abs(j - t0)
+
     return dict(
         ex_pos=np.array(ex_pos, dtype=np.int32),
         ex_dir=np.array(ex_dir, dtype=np.int32),
@@ -258,4 +276,5 @@ def _compile_one(search, pts, kb):
         t_back=depth[0],
         pivot=piv,
         colmin_init=colmin_init,
+        band_init=band_init,
     )

@@ -140,3 +140,24 @@ def test_naive_scheme_edit(fm, rng):
             for e, d in brute_edit_ends(genome, rr, 1):
                 expect.add((i, strand, e, d))
     assert got == expect
+
+
+def test_edit_insertion_at_part_boundaries(fm, rng):
+    """Regression: reads with an inserted char exactly at a part/pivot
+    boundary must still be found (band init allows pattern-insertions at
+    side boundaries)."""
+    genome, index = fm
+    m, k = 100, 4  # kuch1 k=4: 5 parts of 20 -> boundaries at 20/40/60/80
+    reads = []
+    for b in (20, 40, 60, 80):
+        p = int(rng.integers(0, len(genome) - m - 2))
+        ins = np.concatenate(
+            [genome[p:p + b], [int(rng.integers(0, 4))], genome[p + b:p + m - 1]]
+        ).astype(np.uint8)
+        reads.append(ins[:m])
+    occs, stats = pipeline.match_all(
+        index, np.stack(reads), get_scheme("kuch1", k), metric="edit",
+    )
+    assert stats["overflow"] == 0
+    found = {o.read_id for o in occs if o.distance <= 2}
+    assert found == {0, 1, 2, 3}

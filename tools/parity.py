@@ -1,0 +1,155 @@
+"""Golden-parity harness: compare columba_tpu against the reference binary.
+
+Generates a workload, runs both aligners on identical inputs, and diffs
+SAM outputs at configurable strictness:
+
+  level "positions": per read, the SET of (strand, pos, NM) must match.
+  level "best":      per read, best distance and its position set must match.
+
+Usage:
+  python tools/parity.py --mode all -e 2 --metric edit [--reads 500]
+Requires /tmp/colbuild/columba{,_build} (tools/build_reference.sh).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+from collections import defaultdict
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF_BIN = "/tmp/colbuild/columba"
+REF_BUILD = "/tmp/colbuild/columba_build"
+
+
+def make_workload(wd, n=200_000, reads=300, m=100, maxerr=2, seed=1,
+                  edits=False):
+    os.makedirs(wd, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, n))
+    fa = os.path.join(wd, "genome.fa")
+    with open(fa, "w") as f:
+        f.write(">chr1\n")
+        for i in range(0, n, 70):
+            f.write(seq[i:i + 70] + "\n")
+    fq = os.path.join(wd, "reads.fq")
+    comp = str.maketrans("ACGT", "TGCA")
+    with open(fq, "w") as f:
+        for i in range(reads):
+            p = int(rng.integers(0, n - m - maxerr - 1))
+            s = list(seq[p:p + m + maxerr])
+            for _ in range(int(rng.integers(0, maxerr + 1))):
+                j = int(rng.integers(0, m))
+                if edits and rng.random() < 0.3:
+                    if rng.random() < 0.5:
+                        del s[j]
+                    else:
+                        s.insert(j, "ACGT"[int(rng.integers(0, 4))])
+                else:
+                    s[j] = "ACGT"[int(rng.integers(0, 4))]
+            read = "".join(s[:m])
+            if rng.random() < 0.5:
+                read = read.translate(comp)[::-1]
+            f.write(f"@r{i}\n{read}\n+\n{'I' * m}\n")
+    return fa, fq
+
+
+def parse_sam(path):
+    per_read = defaultdict(set)
+    for line in open(path):
+        if line.startswith("@"):
+            continue
+        f = line.rstrip("\n").split("\t")
+        name, flag = f[0], int(f[1])
+        if flag & 4:
+            per_read[name]  # ensure key exists
+            continue
+        nm = next((int(x[5:]) for x in f[11:] if x.startswith("NM:i:")), -1)
+        per_read[name].add((flag & 16, int(f[3]), nm))
+    return per_read
+
+
+def run_reference(wd, fa, fq, args):
+    idx = os.path.join(wd, "refidx")
+    if not os.path.exists(idx + ".meta"):
+        subprocess.run([REF_BUILD, "-r", idx, "-f", fa], check=True,
+                       capture_output=True)
+    out = os.path.join(wd, "ref.sam")
+    cmd = [REF_BIN, "-r", idx, "-f", fq, "-o", out, "-a", args.mode,
+           "-m", args.metric, "-t", "1", "-p", "uniform", "-S", args.scheme]
+    if args.mode == "all":
+        cmd += ["-e", str(args.e)]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return out
+
+
+def run_ours(wd, fa, fq, args):
+    from columba_tpu import cli
+
+    idx = os.path.join(wd, "ours.cidx")
+    if not os.path.exists(os.path.join(idx, "meta.json")):
+        cli.main(["build", "-r", idx, "-f", fa])
+    out = os.path.join(wd, "ours.sam")
+    cmd = ["align", "-r", idx, "-f", fq, "-o", out, "-a", args.mode,
+           "-m", args.metric, "-S", args.scheme]
+    if args.mode == "all":
+        cmd += ["-e", str(args.e)]
+    cli.main(cmd)
+    return out
+
+
+def compare(ref_sam, our_sam, level="positions"):
+    ref = parse_sam(ref_sam)
+    ours = parse_sam(our_sam)
+    names = sorted(set(ref) | set(ours))
+    mismatches = []
+    for name in names:
+        a, b = ref.get(name, set()), ours.get(name, set())
+        if level == "best":
+            abest = min((x[2] for x in a), default=None)
+            bbest = min((x[2] for x in b), default=None)
+            if abest != bbest:
+                mismatches.append((name, "best", abest, bbest))
+                continue
+            a = {x for x in a if x[2] == abest}
+            b = {x for x in b if x[2] == bbest}
+        if a != b:
+            mismatches.append((name, "set", sorted(a - b), sorted(b - a)))
+    return names, mismatches
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--mode", default="all", choices=["all", "best"])
+    p.add_argument("--metric", default="edit", choices=["edit", "hamming"])
+    p.add_argument("-e", type=int, default=2)
+    p.add_argument("--scheme", default="kuch1")
+    p.add_argument("--reads", type=int, default=300)
+    p.add_argument("--genome", type=int, default=200_000)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--edits", action="store_true")
+    p.add_argument("--level", default="positions", choices=["positions", "best"])
+    p.add_argument("--wd", default="/tmp/parity")
+    args = p.parse_args(argv)
+
+    wd = args.wd
+    fa, fq = make_workload(wd, n=args.genome, reads=args.reads,
+                           maxerr=args.e, seed=args.seed, edits=args.edits)
+    ref_sam = run_reference(wd, fa, fq, args)
+    our_sam = run_ours(wd, fa, fq, args)
+    names, mismatches = compare(ref_sam, our_sam, args.level)
+    n_bad = len(mismatches)
+    print(f"parity[{args.level}] {args.mode}/{args.metric} e={args.e} "
+          f"scheme={args.scheme}: {len(names) - n_bad}/{len(names)} reads agree")
+    for mm in mismatches[:10]:
+        print("  MISMATCH", mm)
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
