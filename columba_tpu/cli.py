@@ -32,6 +32,13 @@ def main(argv=None):
     a = sub.add_parser("align", help="map reads against an index")
     a.add_argument("-r", "--index", required=True)
     a.add_argument("-f", "--reads", required=True)
+    a.add_argument("-F", "--reads2", default=None,
+                   help="second reads file (paired-end)")
+    a.add_argument("-O", "--orientation", choices=["fr", "rf", "ff"],
+                   default="fr")
+    a.add_argument("-X", "--max-insert-size", type=int, default=500)
+    a.add_argument("-N", "--min-insert-size", type=int, default=0)
+    a.add_argument("--no-inferring", action="store_true")
     a.add_argument("-o", "--output", required=True)
     a.add_argument("-e", "--max-distance", type=int, default=0,
                    help="ALL-mode max distance (reference -e)")
@@ -42,6 +49,8 @@ def main(argv=None):
     a.add_argument("-I", "--min-identity", type=int, default=95)
     a.add_argument("-K", "--batch-size", type=int, default=512)
     a.add_argument("--capacity", type=int, default=None)
+    a.add_argument("--no-kmer-table", action="store_true",
+                   help="disable the dense k-mer seed table")
 
     args = parser.parse_args(argv)
     if args.cmd == "build":
@@ -77,6 +86,11 @@ def cmd_align(args):
 
     arrays = load_index(args.index)
     index = FMIndex.from_arrays(arrays)
+    kmer_table = None
+    if not args.no_kmer_table:
+        from columba_tpu.index.kmer import build_kmer_table
+
+        kmer_table = build_kmer_table(index)
     cfg = MappingConfig(
         scheme_name=args.scheme,
         metric=args.metric,
@@ -87,6 +101,9 @@ def cmd_align(args):
         capacity=args.capacity,
     )
     kb_for = lambda k: k if args.metric == "edit" else 0
+
+    if args.reads2 is not None:
+        return _align_paired(args, arrays, index, cfg, kmer_table)
 
     seq_lengths = list(np.diff(arrays.seq_starts))
     t0 = time.time()
@@ -121,3 +138,56 @@ def cmd_align(args):
 
 if __name__ == "__main__":
     sys.exit(main())
+
+
+def _align_paired(args, arrays, index, cfg, kmer_table):
+    import numpy as np
+
+    from columba_tpu.io import fastq, sam
+    from columba_tpu.search import paired
+
+    pcfg = paired.PairedConfig(
+        orientation=args.orientation,
+        min_insert=args.min_insert_size,
+        max_insert=args.max_insert_size,
+        infer=not args.no_inferring,
+    )
+    recs1 = list(fastq.parse_reads(args.reads))
+    recs2 = list(fastq.parse_reads(args.reads2))
+    assert len(recs1) == len(recs2), "read files must pair up"
+    m = len(recs1[0].codes)
+    if any(len(r.codes) != m for r in recs1 + recs2):
+        raise NotImplementedError("paired-end requires uniform read length")
+    reads1 = np.stack([r.codes for r in recs1])
+    reads2 = np.stack([r.codes for r in recs2])
+
+    if pcfg.infer:
+        pcfg = paired.infer_parameters(
+            index, reads1, reads2, cfg, arrays.seq_starts, kmer_table)
+        import sys as _sys
+        print(f"[columba_tpu] inferred orientation={pcfg.orientation} "
+              f"insert=[{pcfg.min_insert},{pcfg.max_insert}]", file=_sys.stderr)
+
+    k = cfg.max_distance if args.mode == "all" else 4
+    kb = k if cfg.metric == "edit" else 0
+    seq_lengths = list(np.diff(arrays.seq_starts))
+    import sys as _sys
+    import time as _time
+    t0 = _time.time()
+    with open(args.output, "w") as out:
+        out.write(sam.header(arrays.seq_names, seq_lengths))
+        B = args.batch_size
+        for off in range(0, len(recs1), B):
+            mapped = paired.map_pairs_all(
+                index, reads1[off:off + B], reads2[off:off + B],
+                cfg.scheme_name, k, cfg.metric, pcfg, arrays.seq_starts,
+                kmer_table)
+            for line in paired.emit_sam_paired(
+                recs1[off:off + B], recs2[off:off + B], mapped, arrays, kb,
+            ):
+                out.write(line)
+            done = min(off + B, len(recs1))
+            rate = done / max(_time.time() - t0, 1e-9)
+            print(f"[columba_tpu] {done} pairs ({rate:,.0f} pairs/s)",
+                  file=_sys.stderr)
+    return 0

@@ -101,11 +101,14 @@ def run_scheme(
     reads: jax.Array,
     sched: Schedule,
     capacity: int,
+    kmer_table: jax.Array | None = None,
 ) -> FrontierResult:
     """Execute one compiled scheme over a read batch.
 
     reads: (R, m) int32 codes (strands are separate rows).
     capacity: frontier size C (must be >= R * num_searches).
+    kmer_table: optional (4^K, 4) seed table (index.kmer) matching the
+    schedule's kmer_k; seeds the exact-prefix ranges with one gather.
     """
     R, m = reads.shape
     S = sched.num_searches
@@ -120,7 +123,20 @@ def run_scheme(
         indexing="ij",
     )
     rid0, sid0 = rid0.reshape(-1), sid0.reshape(-1)
-    ranges0 = index.full_range((R * S,))
+    if sched.kmer_k > 0 and kmer_table is not None:
+        from columba_tpu.index import kmer as kmer_mod
+
+        kstart = jnp.asarray(sched.kmer_start)[sid0]          # (R*S,)
+        offs = jnp.arange(sched.kmer_k, dtype=jnp.int32)
+        wpos = jnp.clip(kstart[:, None], 0, m - sched.kmer_k) + offs
+        wchars = reads[rid0[:, None], wpos]
+        seeded = kmer_mod.lookup(kmer_table, wchars)          # (R*S, 4)
+        ranges0 = jnp.where(
+            (kstart >= 0)[:, None], seeded, index.full_range((R * S,))
+        )
+    else:
+        assert sched.kmer_k == 0, "schedule compiled with kmer seeding but no table given"
+        ranges0 = index.full_range((R * S,))
 
     def exact_step(rs, tab):
         ex_pos, ex_dir = tab  # (S,), (S,)

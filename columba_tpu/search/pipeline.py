@@ -54,10 +54,11 @@ def match_device_core(
     capacity: int,
     max_locate: int,
     kb: int,
+    kmer_table: jax.Array | None = None,
 ):
     """Device-side match step (unjitted; see also dist.mesh for the
     shard_map'd multi-chip version)."""
-    res = executor.run_scheme(index, reads, sched, capacity)
+    res = executor.run_scheme(index, reads, sched, capacity, kmer_table)
 
     # two-phase expansion: candidate ranges -> flat rows (cap max_locate)
     widths = jnp.where(res.done, res.ranges[:, 1] - res.ranges[:, 0], 0)
@@ -100,10 +101,12 @@ _match_device = partial(jax.jit, static_argnames=("sched", "capacity", "max_loca
 _SCHED_CACHE: dict = {}
 
 
-def compile_cached(scheme: SearchScheme, m: int, metric: str) -> schedule.Schedule:
-    key = (scheme, m, metric)
+def compile_cached(scheme: SearchScheme, m: int, metric: str,
+                   kmer_k: int = 0) -> schedule.Schedule:
+    key = (scheme, m, metric, kmer_k)
     if key not in _SCHED_CACHE:
-        _SCHED_CACHE[key] = schedule.compile_schedule(scheme, m, metric=metric)
+        _SCHED_CACHE[key] = schedule.compile_schedule(
+            scheme, m, metric=metric, kmer_k=kmer_k)
     return _SCHED_CACHE[key]
 
 
@@ -116,6 +119,7 @@ def match_all(
     max_locate: int = 1 << 16,
     both_strands: bool = True,
     redundancy_filter: bool = True,
+    kmer_table=None,
 ) -> tuple[list[Occurrence], dict]:
     """ALL-mode matching of a read batch: every occurrence with ed <= k.
 
@@ -133,7 +137,10 @@ def match_all(
     if k == 0:
         return _match_exact(index, batch, R, max_locate)
 
-    sched = compile_cached(scheme, m, metric)
+    from columba_tpu.index.kmer import DEFAULT_K
+
+    sched = compile_cached(scheme, m, metric,
+                           kmer_k=DEFAULT_K if kmer_table is not None else 0)
     if capacity is None:
         capacity = max(4096, 4 * batch.shape[0] * sched.num_searches)
     out = _match_device(
@@ -145,6 +152,7 @@ def match_all(
         int(capacity),
         int(max_locate),
         kb,
+        kmer_table,
     )
     out = {kk: np.asarray(v) for kk, v in out.items()}
     stats = dict(

@@ -85,6 +85,8 @@ class Schedule:
     pivot: np.ndarray
     colmin_init: np.ndarray  # (S, 2) initial colMin per side
     band_init: np.ndarray    # (S, 2, BW) initial band rows after exact prefix
+    kmer_start: np.ndarray   # (S,) read pos of seed k-mer window, -1 if none
+    kmer_k: int = 0          # seed k-mer length (0 = no seeding)
 
     @property
     def bw(self) -> int:
@@ -101,7 +103,13 @@ def compile_schedule(
     m: int,
     partition: np.ndarray | None = None,
     metric: str = "edit",
+    kmer_k: int = 0,
 ) -> Schedule:
+    """kmer_k > 0: searches whose first kmer_k exactly-matched characters
+    form a contiguous window skip those steps; the executor initializes their
+    ranges from the k-mer seed table instead (the reference seeds exact
+    ranges from its k-mer hash the same way, src/searchstrategy.cpp:158-190).
+    """
     k = scheme.k
     kb = k if metric == "edit" else 0
     bw = 2 * kb + 1
@@ -118,7 +126,18 @@ def compile_schedule(
     S = len(scheme.searches)
     per_search = []
     for s in scheme.searches:
-        per_search.append(_compile_one(s, pts, kb))
+        ps = _compile_one(s, pts, kb)
+        ps["kmer_start"] = -1
+        if kmer_k > 0 and len(ps["ex_pos"]) >= kmer_k:
+            head = ps["ex_pos"][:kmer_k]
+            if np.all(np.diff(head) == 1):
+                ps["kmer_start"] = int(head[0])
+            elif np.all(np.diff(head) == -1):
+                ps["kmer_start"] = int(head[-1])
+            if ps["kmer_start"] >= 0:
+                ps["ex_pos"] = ps["ex_pos"][kmer_k:]
+                ps["ex_dir"] = ps["ex_dir"][kmer_k:]
+        per_search.append(ps)
 
     e_max = max(len(ps["ex_pos"]) for ps in per_search)
     t_max = max(len(ps["side"]) for ps in per_search)
@@ -138,8 +157,10 @@ def compile_schedule(
     t_back = np.zeros(S, dtype=np.int32)
     pivot = np.zeros(S, dtype=np.int32)
     colmin_init = np.zeros((S, 2), dtype=np.int32)
+    kmer_start = np.full(S, -1, dtype=np.int32)
 
     for i, ps in enumerate(per_search):
+        kmer_start[i] = ps["kmer_start"]
         e = len(ps["ex_pos"])
         ex_pos[i, :e] = ps["ex_pos"]
         ex_dir[i, :e] = ps["ex_dir"]
@@ -164,7 +185,7 @@ def compile_schedule(
         ex_pos=ex_pos, ex_dir=ex_dir, active=active, side=side, ub=ub,
         colo=colo, creset=creset, posw=posw, mvalid=mvalid, cvalid=cvalid,
         u_last=u_last, t_back=t_back, pivot=pivot, colmin_init=colmin_init,
-        band_init=band_init,
+        band_init=band_init, kmer_start=kmer_start, kmer_k=kmer_k,
     )
 
 

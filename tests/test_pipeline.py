@@ -161,3 +161,37 @@ def test_edit_insertion_at_part_boundaries(fm, rng):
     assert stats["overflow"] == 0
     found = {o.read_id for o in occs if o.distance <= 2}
     assert found == {0, 1, 2, 3}
+
+
+def test_kmer_table_and_seeded_matching(fm, rng):
+    """Seed table entries equal naive ranges; seeded run == unseeded run."""
+    import jax.numpy as jnp
+
+    from columba_tpu.index import kmer
+
+    genome, index = fm
+    table = np.asarray(kmer.build_kmer_table(index))
+    # spot-check a few kmers against exact_match
+    from columba_tpu.ops import extend as ext
+
+    pats = []
+    for _ in range(20):
+        p = int(rng.integers(0, len(genome) - 10))
+        pats.append(genome[p:p + 10])
+    pats = np.stack(pats).astype(np.int32)
+    expect = np.asarray(ext.exact_match(index, jnp.asarray(pats)))
+    codes = np.asarray(kmer.pack_codes(jnp.asarray(pats)))
+    np.testing.assert_array_equal(table[codes], expect)
+
+    reads = sample_reads(rng, genome, num=8, length=60, max_err=2, edits=True)
+    occs_plain, _ = pipeline.match_all(
+        index, reads, get_scheme("kuch1", 2), metric="edit",
+        redundancy_filter=False,
+    )
+    occs_seeded, stats = pipeline.match_all(
+        index, reads, get_scheme("kuch1", 2), metric="edit",
+        redundancy_filter=False, kmer_table=jnp.asarray(table),
+    )
+    key = lambda os: {(o.read_id, o.strand, o.end, o.distance) for o in os}
+    assert key(occs_plain) == key(occs_seeded)
+    assert stats["overflow"] == 0

@@ -23,6 +23,13 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Parity runs belong on CPU: the single TPU tunnel wedges under contention
+# and env vars alone cannot override the container's JAX_PLATFORMS=axon.
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 REF_BIN = "/tmp/colbuild/columba"
 REF_BUILD = "/tmp/colbuild/columba_build"
 
