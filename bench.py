@@ -23,9 +23,9 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 CACHE_DIR = "/tmp/columba_tpu_bench"
 GENOME_N = 8_000_000
 READ_LEN = 100
-NUM_READS = 20_000
+NUM_READS = 60_000
 K = 2
-BATCH = 2048
+BATCH = 8192
 ERR_RATE = 0.01
 
 
@@ -82,7 +82,7 @@ def measure_tpu(arrays, reads) -> float:
     sched = pipeline.compile_cached(scheme, READ_LEN, "edit")
     t_back = jnp.asarray(sched.t_back)
     pivot = jnp.asarray(sched.pivot)
-    capacity = 8 * BATCH  # both strands: 2*BATCH rows * S=3 searches + slack
+    capacity = 4 * BATCH  # 2*BATCH rows x 3 searches x ~2/3 exact-prefix survival
     max_locate = 1 << 15
 
     from columba_tpu.core import alphabet
@@ -103,13 +103,24 @@ def measure_tpu(arrays, reads) -> float:
     jax.block_until_ready(out)
 
     n_done = 0
+    overflow = 0
+    total_cands = 0
     t0 = time.time()
+    outs = []
     for off in range(BATCH, len(reads) - BATCH + 1, BATCH):
         rows = batch_rows(reads[off:off + BATCH])
         out = step(index, rows)
+        outs.append((out["overflow"], out["total"]))
         n_done += BATCH
-    jax.block_until_ready(out)
+    jax.block_until_ready(outs)
     dt = time.time() - t0
+    overflow = sum(int(o) for o, _ in outs)
+    total_cands = sum(int(t) for _, t in outs)
+    print(f"[bench] {n_done} reads, {total_cands} candidates, "
+          f"overflow={overflow}", file=sys.stderr)
+    if overflow:
+        print("[bench] WARNING: frontier overflow (capacity too small)",
+              file=sys.stderr)
     return n_done / dt
 
 

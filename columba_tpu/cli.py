@@ -51,6 +51,10 @@ def main(argv=None):
     a.add_argument("--capacity", type=int, default=None)
     a.add_argument("--no-kmer-table", action="store_true",
                    help="disable the dense k-mer seed table")
+    a.add_argument("-XA", "--xa-tag", action="store_true",
+                   help="fold secondary alignments into the XA tag")
+    a.add_argument("-nU", "--no-unmapped", action="store_true",
+                   help="do not output unmapped reads")
 
     args = parser.parse_args(argv)
     if args.cmd == "build":
@@ -99,19 +103,22 @@ def cmd_align(args):
         best_plus_x=args.best_plus_x,
         min_identity=args.min_identity,
         capacity=args.capacity,
+        kmer_table=kmer_table,
     )
     kb_for = lambda k: k if args.metric == "edit" else 0
 
     if args.reads2 is not None:
         return _align_paired(args, arrays, index, cfg, kmer_table)
 
+    rhs_output = args.output.endswith(".rhs")
     seq_lengths = list(np.diff(arrays.seq_starts))
     t0 = time.time()
     n_reads = 0
     n_mapped = 0
     with open(args.output, "w") as out:
-        out.write(sam.header(arrays.seq_names, seq_lengths,
-                             command_line=" ".join(sys.argv)))
+        if not rhs_output:
+            out.write(sam.header(arrays.seq_names, seq_lengths,
+                                 command_line=" ".join(sys.argv)))
         for records, codes in fastq.batches_by_length(
             fastq.parse_reads(args.reads), args.batch_size
         ):
@@ -122,8 +129,15 @@ def cmd_align(args):
                 mapped = map_batch_best(index, codes, cfg)
                 kb = kb_for(4)
             mapped = mapped[: len(records)]
-            for line in emit_sam(records, mapped, arrays, index, kb,
-                                 mode=args.mode):
+            if rhs_output:
+                from columba_tpu.search.strategy import emit_rhs
+
+                lines = emit_rhs(records, mapped, arrays)
+            else:
+                lines = emit_sam(records, mapped, arrays, index, kb,
+                                 mode=args.mode, xa_tag=args.xa_tag,
+                                 unmapped_records=not args.no_unmapped)
+            for line in lines:
                 out.write(line)
             n_reads += len(records)
             n_mapped += sum(1 for mr in mapped if mr.occs)

@@ -35,8 +35,10 @@ KMER_K = 10  # seed table k-mer size (reference default, src/definitions.h)
 class FMIndex:
     """Replicated device arrays of one index. A pytree of jnp arrays."""
 
-    bwt_cat: jax.Array    # packed uint32 [fwd-BWT words | rev-BWT words]
-    occ_cat: jax.Array    # (2*blocks, 4) int32 checkpoints [fwd | rev]
+    occ_fused: jax.Array  # (2*blocks, 12) uint32: [4 ckpt | 8 BWT words]
+                          # fwd blocks then rev blocks — one 48B row gather
+                          # serves a full rank query (interleaved-rank9
+                          # analogue of reference src/bitvec.h:234-478)
     counts: jax.Array     # (4,) int32 first SA row per char (A,C,G,T)
     dollar: jax.Array     # (2,) int32: '$' row in [fwd, rev] BWT
     text: jax.Array       # packed uint32 genome words (padded)
@@ -57,9 +59,13 @@ class FMIndex:
         assert arrays.rocc.shape[0] == blocks
         assert arrays.bwt.shape[0] == blocks * 8, (arrays.bwt.shape, blocks)
         text = np.concatenate([arrays.text, np.zeros(16, dtype=np.uint32)])
+        occ_cat = np.concatenate([arrays.occ, arrays.rocc])
+        words_cat = np.concatenate([arrays.bwt, arrays.rbwt]).reshape(-1, 8)
+        fused = np.empty((2 * blocks, 12), dtype=np.uint32)
+        fused[:, :4] = occ_cat.astype(np.uint32)
+        fused[:, 4:] = words_cat
         return FMIndex(
-            bwt_cat=jnp.asarray(np.concatenate([arrays.bwt, arrays.rbwt])),
-            occ_cat=jnp.asarray(np.concatenate([arrays.occ, arrays.rocc])),
+            occ_fused=jnp.asarray(fused),
             counts=jnp.asarray(arrays.counts),
             dollar=jnp.asarray(
                 [arrays.dollar_fwd, arrays.dollar_rev], dtype=jnp.int32
@@ -87,7 +93,7 @@ class FMIndex:
 jax.tree_util.register_dataclass(
     FMIndex,
     data_fields=[
-        "bwt_cat", "occ_cat", "counts", "dollar", "text",
+        "occ_fused", "counts", "dollar", "text",
         "sa_samples", "sa_bits", "sa_bits_rank", "n_arr",
     ],
     meta_fields=["n", "blocks", "sa_sparseness"],

@@ -31,7 +31,7 @@ def _occ_dir(index: FMIndex, pos: jax.Array, dirs: jax.Array):
     blk_off = dirs.astype(jnp.int32) * index.blocks
     # occ_all computes blk = pos >> 7 internally; shift pos by whole blocks.
     shifted = pos.astype(jnp.int32) + (blk_off << 7)
-    raw = rank.occ_all(index.bwt_cat, index.occ_cat, shifted)
+    raw = rank.occ_all(index.occ_fused, shifted)
     dollar_row = index.dollar[dirs.astype(jnp.int32)]
     d = (dollar_row < pos).astype(jnp.int32)
     raw = raw.at[..., 0].add(-d)

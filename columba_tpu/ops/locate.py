@@ -16,9 +16,11 @@ from columba_tpu.ops import rank
 
 
 def lf_step(index: FMIndex, rows: jax.Array) -> jax.Array:
-    """LF(row) on the forward BWT, batched."""
-    c = rank.gather_codes(index.bwt_cat, rows)  # '$' slot reads as A
-    occ4 = rank.occ_all(index.bwt_cat, index.occ_cat, rows)
+    """LF(row) on the forward BWT, batched.
+
+    The row's own character is decoded from the same block-row fetch that
+    serves the occ counts (one 32B gather per lane total)."""
+    occ4, c = rank.occ_all_and_char(index.occ_fused, rows)
     d = (index.dollar[0] < rows).astype(jnp.int32)
     occ4 = occ4.at[..., 0].add(-d)
     occ_c = jnp.take_along_axis(occ4, c[..., None], axis=-1)[..., 0]

@@ -21,19 +21,20 @@ WPB = 8  # words per block
 _PAT = jnp.asarray([0x00000000, 0x55555555, 0xAAAAAAAA, 0xFFFFFFFF], dtype=jnp.uint32)
 
 
-def occ_all(words: jax.Array, ckpt: jax.Array, pos: jax.Array) -> jax.Array:
+def occ_all(fused: jax.Array, pos: jax.Array) -> jax.Array:
     """occ(c, pos) for c in A,C,G,T.
 
-    words: (W,) uint32 packed codes;  ckpt: (blocks, 4) int32;
+    fused: (blocks, 12) uint32 interleaved rows [4 ckpt | 8 packed words]
+    (see index.fmindex) — ONE 48B row gather serves the whole query;
     pos: (...,) int32 positions in [0, rows].
     Returns (..., 4) int32 counts of each code in words[0:pos) — counting the
     '$' slot as code 0 (callers subtract the dollar adjustment).
     """
     pos = pos.astype(jnp.int32)
     blk = pos >> 7
-    base = ckpt[blk]  # (..., 4)
-    w0 = (blk << 3)[..., None] + jnp.arange(WPB, dtype=jnp.int32)  # (..., 8)
-    wvals = words[w0]  # (..., 8) uint32
+    row = fused[blk]  # (..., 12) uint32
+    base = row[..., :4].astype(jnp.int32)
+    wvals = row[..., 4:12]
 
     # chars of word w that lie before pos: r = clamp(pos - blk*128 - 16*w, 0, 16)
     r = pos[..., None] - (blk[..., None] << 7) - 16 * jnp.arange(WPB, dtype=jnp.int32)
@@ -55,6 +56,31 @@ def occ_all(words: jax.Array, ckpt: jax.Array, pos: jax.Array) -> jax.Array:
     return base + jnp.stack(out, axis=-1)
 
 
+def occ_all_and_char(fused: jax.Array, pos: jax.Array):
+    """occ_all(pos) plus the 2-bit code AT pos, from one block-row fetch."""
+    pos = pos.astype(jnp.int32)
+    blk = pos >> 7
+    row = fused[blk]
+    base = row[..., :4].astype(jnp.int32)
+    wvals = row[..., 4:12]
+    r = pos[..., None] - (blk[..., None] << 7) - 16 * jnp.arange(WPB, dtype=jnp.int32)
+    rc = jnp.clip(r, 0, 16)
+    shift = jnp.minimum(2 * rc, 31).astype(jnp.uint32)
+    mask = jnp.where(
+        rc >= 16, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << shift) - jnp.uint32(1)
+    )
+    out = []
+    for c in range(4):
+        x = wvals ^ _PAT[c]
+        hits = (~x) & ((~x) >> 1) & jnp.uint32(0x55555555) & mask
+        out.append(jnp.sum(jax.lax.population_count(hits), axis=-1).astype(jnp.int32))
+    # decode char at pos: word index (pos>>4)&7, slot pos&15
+    widx = (pos >> 4) & 7
+    w = jnp.take_along_axis(wvals, widx[..., None], axis=-1)[..., 0]
+    char = ((w >> (2 * (pos.astype(jnp.uint32) & 15))) & 3).astype(jnp.int32)
+    return base + jnp.stack(out, axis=-1), char
+
+
 def cnt_dollar(dollar_row: jax.Array, pos: jax.Array) -> jax.Array:
     """Number of '$' in bwt[0:pos) (0 or 1)."""
     return (dollar_row < pos).astype(jnp.int32)
@@ -73,8 +99,7 @@ def rank_bits(bits: jax.Array, bits_rank: jax.Array, pos: jax.Array) -> jax.Arra
     pos = pos.astype(jnp.int32)
     blk = pos >> 7
     base = bits_rank[blk]
-    w0 = (blk << 2)[..., None] + jnp.arange(4, dtype=jnp.int32)
-    wvals = bits[w0]
+    wvals = bits.reshape(-1, 4)[blk]  # one 16B row per lane
     r = jnp.clip(pos[..., None] - (blk[..., None] << 7) - 32 * jnp.arange(4, dtype=jnp.int32), 0, 32)
     shift = jnp.minimum(r, 31).astype(jnp.uint32)
     mask = jnp.where(

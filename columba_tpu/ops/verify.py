@@ -25,11 +25,28 @@ from columba_tpu.search.schedule import INF
 
 
 def gather_window(index: FMIndex, starts: jax.Array, width: int) -> jax.Array:
-    """Text codes (B, width) starting at `starts`; out-of-range -> 4."""
+    """Text codes (B, width) starting at `starts`; out-of-range -> 4.
+
+    Fetches whole 16-char words via row gathers on a 2D view of the packed
+    text (per-character gathers are ~width x slower on TPU), then unpacks
+    and slices the requested window.
+    """
+    assert width <= 129, "gather_window supports widths up to 129"
     n = index.n_arr[0]
+    text2d = index.text[: (index.text.shape[0] // 8) * 8].reshape(-1, 8)
+    nb = text2d.shape[0]
+    start_blk = jnp.clip(starts, 0, None) >> 7              # 128-char blocks
+    b0 = jnp.clip(start_blk, 0, nb - 1)
+    b1 = jnp.clip(start_blk + 1, 0, nb - 1)
+    wvals = jnp.concatenate([text2d[b0], text2d[b1]], axis=1)  # (B, 16) words
+    shifts = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
+    chars = ((wvals[..., None] >> shifts) & 3).astype(jnp.int32)
+    chars = chars.reshape(wvals.shape[0], -1)               # (B, 256)
+    off = jnp.clip(starts, 0, None) - (start_blk << 7)      # (B,) in [0,127]
+    cols = off[:, None] + jnp.arange(width, dtype=jnp.int32)
+    codes = jnp.take_along_axis(chars, jnp.clip(cols, 0, 255), axis=1)
     pos = starts[:, None] + jnp.arange(width, dtype=jnp.int32)[None, :]
     inb = (pos >= 0) & (pos < n)
-    codes = rank.gather_codes(index.text, jnp.clip(pos, 0, n - 1))
     return jnp.where(inb, codes, 4)
 
 

@@ -54,16 +54,22 @@ jax.tree_util.register_dataclass(
 
 
 def _dev_tables(sched: Schedule) -> dict:
-    """Schedule tables as device arrays, stacked for lax.scan over steps."""
+    """Schedule tables as device arrays, stacked for lax.scan over steps.
+
+    All per-(search, step) scalars pack into ONE int32 so the scan body does
+    a single per-lane table lookup instead of seven:
+      bit 0: active; bit 1: side; bit 2: creset; bits 3-7: colo+1;
+      bits 8-15: ub.
+    """
+    meta = (
+        sched.active.astype(np.int32)
+        | (sched.side.astype(np.int32) << 1)
+        | (sched.creset.astype(np.int32) << 2)
+        | ((sched.colo.astype(np.int32) + 1) << 3)
+        | (sched.ub.astype(np.int32) << 8)
+    )
     return dict(
-        active=jnp.asarray(sched.active.T),          # (T, S)
-        side=jnp.asarray(sched.side.T),              # (T, S)
-        ub=jnp.asarray(sched.ub.T),                  # (T, S)
-        colo=jnp.asarray(sched.colo.T),              # (T, S)
-        creset=jnp.asarray(sched.creset.T),          # (T, S)
-        posw=jnp.asarray(np.swapaxes(sched.posw, 0, 1)),    # (T, S, BW)
-        mvalid=jnp.asarray(np.swapaxes(sched.mvalid, 0, 1)),
-        cvalid=jnp.asarray(np.swapaxes(sched.cvalid, 0, 1)),
+        meta=jnp.asarray(meta.T),                    # (T, S) packed
         ex_pos=jnp.asarray(sched.ex_pos.T),          # (E, S)
         ex_dir=jnp.asarray(sched.ex_dir.T),          # (E, S)
         u_last=jnp.asarray(sched.u_last),            # (S,)
@@ -71,29 +77,74 @@ def _dev_tables(sched: Schedule) -> dict:
     )
 
 
-def _band_row_update(prev, pchars, mval, cval, bw):
+def _band_row_update(prev, pchars, bw):
     """One banded-DP row for all 4 extension chars.
 
-    prev: (C, BW) previous row; pchars: (C, BW) pattern codes for the diag
-    transition of each cell; mval/cval: (C, BW) validity masks.
+    prev: (C, BW) previous row (int8); pchars: (C, BW) int8 per-cell codes
+    with validity folded in: 0..4 = pattern char (4=N, mismatches all),
+    -1 = no diag transition (j==0), -2 = cell outside the pattern (INF).
     Returns (C, 4, BW) new rows (char-major).
     """
     up = jnp.concatenate(
         [prev[:, 1:], jnp.full((prev.shape[0], 1), INF, dtype=prev.dtype)], axis=1
     )
+    one = jnp.ones((), prev.dtype)
+    cval = pchars >= -1
     rows = []
     for c in range(4):
-        mis = jnp.where(mval & (pchars == c), 0, jnp.where(mval, 1, INF))
-        nl = jnp.minimum(prev + mis, up + 1)
+        mis = jnp.where(pchars == c, 0, jnp.where(pchars >= 0, 1, INF)).astype(prev.dtype)
+        nl = jnp.minimum(prev + mis, up + one)
         # left-to-right deletion scan: D[o] = min(D[o-1] + 1, nl[o])
         d = nl[:, 0:1]
         cols = [d]
         for o in range(1, bw):
-            d = jnp.minimum(nl[:, o:o + 1], d + 1)
+            d = jnp.minimum(nl[:, o:o + 1], d + one)
             cols.append(d)
         row = jnp.concatenate(cols, axis=1) if bw > 1 else nl
-        rows.append(jnp.where(cval, row, INF))
+        rows.append(jnp.where(cval, row, jnp.asarray(INF, prev.dtype)))
     return jnp.stack(rows, axis=1)
+
+
+
+def _pack_state(ranges, ids, band, colmin, bw):
+    """Pack one frontier lane's state into uint32 words.
+
+    Layout: w0..w3 ranges, w4 ids, then 2*bw band bytes + 2 colmin bytes
+    little-endian-packed 4 per word. One contiguous row per lane makes the
+    per-step compaction a single row gather.
+    """
+    lead = ranges.shape[:-1]
+    nb = 2 * bw + 2
+    nw = (nb + 3) // 4
+    by = jnp.concatenate(
+        [band.reshape(*lead, 2 * bw), colmin.reshape(*lead, 2)], axis=-1
+    ).astype(jnp.uint8).astype(jnp.uint32)
+    pad = nw * 4 - nb
+    if pad:
+        by = jnp.concatenate(
+            [by, jnp.zeros((*lead, pad), jnp.uint32)], axis=-1)
+    by = by.reshape(*lead, nw, 4)
+    shifts = (8 * jnp.arange(4, dtype=jnp.uint32))
+    words = jnp.sum(by << shifts, axis=-1, dtype=jnp.uint32)
+    return jnp.concatenate(
+        [ranges.astype(jnp.uint32), ids[..., None].astype(jnp.uint32), words],
+        axis=-1,
+    )
+
+
+def _unpack_state(packed, bw):
+    lead = packed.shape[:-1]
+    ranges = packed[..., :4].astype(jnp.int32)
+    ids = packed[..., 4].astype(jnp.int32)
+    nb = 2 * bw + 2
+    nw = (nb + 3) // 4
+    words = packed[..., 5:5 + nw]                         # (..., nw) uint32
+    shifts = (8 * jnp.arange(4, dtype=jnp.uint32))
+    by = ((words[..., None] >> shifts) & jnp.uint32(0xFF)).astype(jnp.int8)
+    by = by.reshape(*lead, nw * 4)[..., :nb]
+    band = by[..., :2 * bw].reshape(*lead, 2, bw)
+    colmin = by[..., 2 * bw:]
+    return ranges, ids, band, colmin
 
 
 def run_scheme(
@@ -113,9 +164,9 @@ def run_scheme(
     R, m = reads.shape
     S = sched.num_searches
     C = int(capacity)
-    assert C >= R * S, f"capacity {C} < initial nodes {R * S}"
     bw = sched.bw
     tables = _dev_tables(sched)
+    T = sched.t_max
 
     # ---------------- exact prefix ----------------
     rid0, sid0 = jnp.meshgrid(
@@ -152,55 +203,86 @@ def run_scheme(
         )
 
     # ---------------- frontier init ----------------
-    def pad(x, fill=0):
-        return jnp.concatenate(
-            [x, jnp.full((C - x.shape[0], *x.shape[1:]), fill, x.dtype)]
-        )
-
+    # Compact the R*S initial nodes into the C-lane frontier, dropping the
+    # nodes whose exact prefix already died (for errorful reads most
+    # searches die here, so C may be chosen well below R*S).
+    # State compactness matters (the per-step compaction moves the whole
+    # state): bands/colmin are int8 and rid/sid pack into one int32;
+    # liveness is implicit (empty range = dead).
     alive0 = ranges0[:, 1] > ranges0[:, 0]
-    band_init = jnp.asarray(sched.band_init)[sid0]  # (R*S, 2, BW)
-    state = dict(
-        ranges=pad(ranges0),
-        rid=pad(rid0),
-        sid=pad(sid0),
-        band=pad(band_init, INF),
-        colmin=pad(tables["colmin_init"][sid0], INF),
-        alive=pad(alive0, False),
+    pos0 = jnp.cumsum(alive0.astype(jnp.int32)) - 1
+    dest0 = jnp.where(alive0, jnp.where(pos0 >= C, C, pos0), C)
+    n_alive0 = pos0[-1] + 1
+    overflow0 = jnp.maximum(n_alive0 - C, 0)
+    src0 = jnp.full((C + 1,), R * S, jnp.int32)
+    src0 = src0.at[dest0].set(jnp.arange(R * S, dtype=jnp.int32),
+                              mode="drop")[:C]
+    live0 = src0 < R * S
+    srcc0 = jnp.where(live0, src0, 0)
+
+    def take0(val, fill):
+        out = val[srcc0]
+        shape = (C,) + (1,) * (out.ndim - 1)
+        return jnp.where(live0.reshape(shape), out, jnp.asarray(fill, val.dtype))
+
+    band_init = jnp.asarray(sched.band_init, dtype=jnp.int8)[sid0]
+    state = _pack_state(
+        take0(ranges0, 0),
+        take0(rid0 * S + sid0, 0),
+        take0(band_init, INF),
+        take0(tables["colmin_init"][sid0].astype(jnp.int8), INF),
+        bw,
     )
-    overflow0 = jnp.zeros((), jnp.int32)
     visits0 = jnp.zeros((), jnp.int32)
 
+    # Pattern-char windows for every (read, search, step), precomputed with
+    # one vectorized gather and with cell validity folded in (-1 = no diag,
+    # -2 = invalid cell); the scan then does one contiguous row gather per
+    # lane instead of a 2D element gather plus two mask lookups per step.
+    if T > 0:
+        posw_all = jnp.asarray(sched.posw)                    # (S, T, BW)
+        pchars_all = reads.astype(jnp.int8)[:, posw_all]      # (R, S, T, BW)
+        mv = jnp.asarray(sched.mvalid)
+        cv = jnp.asarray(sched.cvalid)
+        code = jnp.where(~cv, jnp.int8(-2), jnp.where(~mv, jnp.int8(-1), jnp.int8(0)))
+        pchars_all = jnp.where(code[None] == 0, pchars_all, code[None])
+        pchars_flat = pchars_all.reshape(R * S * T, bw)
+
     # ---------------- lockstep band steps ----------------
-    def step(carry, tab):
+    def step(carry, xs):
+        meta_row, t_idx = xs                      # (S,) packed scalars
         st, overflow, visits = carry
-        sid = st["sid"]
-        alive = st["alive"]
-        act = tab["active"][sid] & alive          # (C,)
-        sd = tab["side"][sid]                     # (C,)
+        ranges, ids, band, colmin = _unpack_state(st, bw)
+        sid = ids % S
+        alive = ranges[:, 1] > ranges[:, 0]
+        meta = meta_row[sid]                      # ONE per-lane table lookup
+        act = ((meta & 1) == 1) & alive           # (C,)
+        sd = (meta >> 1) & 1                      # (C,)
         visits = visits + jnp.sum(act.astype(jnp.int32)) * 4
 
         # 1) extension (all 4 chars); inactive lanes query position 0
-        rng = jnp.where(act[:, None], st["ranges"], 0)
+        rng = jnp.where(act[:, None], ranges, 0)
         children = extend.extend_all(index, rng, sd)          # (C, 4ch, 4)
 
-        # 2) band row update on the active side
-        lane = jnp.arange(C)
-        prev = st["band"][lane, sd]                           # (C, BW)
-        pchars = reads[st["rid"][:, None], tab["posw"][sid]]  # (C, BW)
-        newD = _band_row_update(
-            prev, pchars.astype(jnp.int32), tab["mvalid"][sid],
-            tab["cvalid"][sid], bw
-        )                                                     # (C, 4ch, BW)
+        # 2) band row update on the active side (side-indexed accesses are
+        # where-selects; fancy-index scatters/gathers are slow on TPU).
+        is_b = (sd == 0)
+        prev = jnp.where(is_b[:, None], band[:, 0], band[:, 1])
+        pchars = pchars_flat[ids * T + t_idx]                 # (C, BW) int8
+        newD = _band_row_update(prev, pchars, bw)             # (C, 4ch, BW) int8
 
-        # 3) colMin
-        o = tab["colo"][sid]                                  # (C,)
-        cm_sd = st["colmin"][lane, sd]
-        cm_other = st["colmin"][lane, 1 - sd]
-        cm_base = jnp.where(tab["creset"][sid], INF, cm_sd)
-        acc = newD[lane[:, None], jnp.arange(4)[None, :], jnp.clip(o, 0, bw - 1)[:, None]]
+        # 3) colMin (cell pick via unrolled selects, not take_along_axis)
+        o = ((meta >> 3) & 31) - 1                            # (C,)
+        cm0, cm1 = colmin[:, 0], colmin[:, 1]
+        cm_sd = jnp.where(is_b, cm0, cm1)
+        cm_other = jnp.where(is_b, cm1, cm0)
+        cm_base = jnp.where((meta & 4) == 4, jnp.int8(INF), cm_sd)
+        acc = jnp.full((C, 4), INF, jnp.int8)
+        for o_ in range(bw):
+            acc = jnp.where((o == o_)[:, None], newD[:, :, o_], acc)
         new_cm_sd = jnp.where(
             (o >= 0)[:, None], jnp.minimum(cm_base[:, None], acc), cm_sd[:, None]
-        )                                                     # (C, 4ch)
+        )                                                     # (C, 4ch) int8
 
         # 4) prune. colMin participates in the bound only inside its
         # accumulation window (where it is fresh for the current extent);
@@ -212,9 +294,11 @@ def run_scheme(
         # over (deficit/surplus completions).
         width = children[..., 1] - children[..., 0]           # (C, 4ch)
         rowmin = jnp.min(newD, axis=-1)                       # (C, 4ch)
-        col_contrib = jnp.where((o >= 0)[:, None], new_cm_sd, INF)
-        bound = jnp.minimum(rowmin, col_contrib) + cm_other[:, None]
-        child_alive = act[:, None] & (width > 0) & (bound <= tab["ub"][sid][:, None])
+        col_contrib = jnp.where((o >= 0)[:, None], new_cm_sd, jnp.int8(INF))
+        bound = (jnp.minimum(rowmin, col_contrib).astype(jnp.int32)
+                 + cm_other.astype(jnp.int32)[:, None])
+        ub = (meta >> 8) & 255
+        child_alive = act[:, None] & (width > 0) & (bound <= ub[:, None])
 
         # 5) expand: child slot 0 of inactive lanes passes the parent through
         def sel(child_val, parent_val):
@@ -224,56 +308,69 @@ def run_scheme(
             )
             return jnp.where(keep, child_val, par)
 
-        ch_ranges = sel(children, st["ranges"])               # (C,4,4)
-        new_band = st["band"][:, None, :, :].repeat(4, axis=1)  # (C,4,2,BW)
-        new_band = new_band.at[lane[:, None], jnp.arange(4)[None, :], sd[:, None]].set(newD)
-        ch_band = sel(new_band, st["band"])
-        new_colmin = st["colmin"][:, None, :].repeat(4, axis=1)
-        new_colmin = new_colmin.at[lane[:, None], jnp.arange(4)[None, :], sd[:, None]].set(new_cm_sd)
-        ch_colmin = sel(new_colmin, st["colmin"])
         ch_alive = jnp.where(
             act[:, None],
             child_alive,
             jnp.concatenate([alive[:, None], jnp.zeros((C, 3), bool)], axis=1),
         )
+        ch_ranges = jnp.where(
+            ch_alive[..., None], sel(children, ranges), 0
+        )                                                     # (C,4,4)
+        band_b = jnp.where(
+            (is_b & act)[:, None, None], newD,
+            jnp.broadcast_to(band[:, None, 0], (C, 4, bw)))
+        band_f = jnp.where(
+            ((~is_b) & act)[:, None, None], newD,
+            jnp.broadcast_to(band[:, None, 1], (C, 4, bw)))
+        ch_band = jnp.stack([band_b, band_f], axis=2)         # (C,4,2,BW)
+        cm_b = jnp.where((is_b & act)[:, None], new_cm_sd, cm0[:, None])
+        cm_f = jnp.where(((~is_b) & act)[:, None], new_cm_sd, cm1[:, None])
+        ch_colmin = jnp.stack([cm_b, cm_f], axis=2)           # (C,4,2)
 
-        # 6) compact 4C -> C (cumsum + scatter-drop)
+        ch_packed = _pack_state(
+            ch_ranges,
+            jnp.broadcast_to(ids[:, None], (C, 4)),
+            ch_band, ch_colmin, bw,
+        )                                                     # (C, 4, W)
+
+        # 6) compact 4C -> C: scatter only the source index, then ONE row
+        # gather of the packed state.
         flat_alive = ch_alive.reshape(-1)
         pos = jnp.cumsum(flat_alive.astype(jnp.int32)) - 1
-        dest = jnp.where(flat_alive, pos, C)  # dead or overflow -> dropped
+        dest = jnp.where(flat_alive, pos, C)
         dest = jnp.where(pos >= C, C, dest)
         n_alive = pos[-1] + 1
         overflow = overflow + jnp.maximum(n_alive - C, 0)
 
-        def scatter(val, fill):
-            flat = val.reshape(4 * C, *val.shape[2:])
-            out = jnp.full((C + 1, *flat.shape[1:]), fill, flat.dtype)
-            return out.at[dest].set(flat, mode="drop")[:C]
-
-        rep = lambda v: jnp.broadcast_to(v[:, None], (C, 4)).reshape(-1)
-        new_state = dict(
-            ranges=scatter(ch_ranges, 0),
-            rid=jnp.full((C + 1,), 0, jnp.int32).at[dest].set(rep(st["rid"]), mode="drop")[:C],
-            sid=jnp.full((C + 1,), 0, jnp.int32).at[dest].set(rep(st["sid"]), mode="drop")[:C],
-            band=scatter(ch_band, INF),
-            colmin=scatter(ch_colmin, INF),
-            alive=jnp.zeros((C + 1,), bool).at[dest].set(flat_alive, mode="drop")[:C],
+        src = jnp.full((C + 1,), 4 * C, jnp.int32)
+        src = src.at[dest].set(jnp.arange(4 * C, dtype=jnp.int32),
+                               mode="drop")[:C]
+        live = src < 4 * C
+        srcc = jnp.where(live, src, 0)
+        W = ch_packed.shape[-1]
+        new_state = jnp.where(
+            live[:, None],
+            ch_packed.reshape(4 * C, W)[srcc],
+            jnp.zeros((C, W), jnp.uint32),
         )
         return (new_state, overflow, visits), None
 
     if sched.t_max > 0:
         (state, overflow0, visits0), _ = jax.lax.scan(
             step, (state, overflow0, visits0),
-            {k: tables[k] for k in
-             ("active", "side", "ub", "colo", "creset", "posw", "mvalid", "cvalid")},
+            (tables["meta"], jnp.arange(T, dtype=jnp.int32)),
         )
 
-    ed_lb = state["colmin"][:, 0] + state["colmin"][:, 1]
-    done = state["alive"] & (ed_lb <= tables["u_last"][state["sid"]])
+    ranges_f, ids_f, band_f, colmin_f = _unpack_state(state, bw)
+    ed_lb = (colmin_f[:, 0].astype(jnp.int32)
+             + colmin_f[:, 1].astype(jnp.int32))
+    sid_f = ids_f % S
+    alive_f = ranges_f[:, 1] > ranges_f[:, 0]
+    done = alive_f & (ed_lb <= tables["u_last"][sid_f])
     return FrontierResult(
-        ranges=state["ranges"],
-        rid=state["rid"],
-        sid=state["sid"],
+        ranges=ranges_f,
+        rid=ids_f // S,
+        sid=sid_f,
         ed_lb=ed_lb,
         done=done,
         overflow=overflow0,

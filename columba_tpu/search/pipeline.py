@@ -141,20 +141,30 @@ def match_all(
 
     sched = compile_cached(scheme, m, metric,
                            kmer_k=DEFAULT_K if kmer_table is not None else 0)
-    if capacity is None:
-        capacity = max(4096, 4 * batch.shape[0] * sched.num_searches)
-    out = _match_device(
-        index,
-        jnp.asarray(batch),
-        sched,
-        jnp.asarray(sched.t_back),
-        jnp.asarray(sched.pivot),
-        int(capacity),
-        int(max_locate),
-        kb,
-        kmer_table,
-    )
-    out = {kk: np.asarray(v) for kk, v in out.items()}
+    auto_capacity = capacity is None
+    if auto_capacity:
+        # tight frontier: exact-prefix deaths are compacted away at init,
+        # and an overflow triggers one retry at 4x
+        capacity = max(1024, batch.shape[0] * sched.num_searches)
+
+    def run(cap):
+        out = _match_device(
+            index,
+            jnp.asarray(batch),
+            sched,
+            jnp.asarray(sched.t_back),
+            jnp.asarray(sched.pivot),
+            int(cap),
+            int(max_locate),
+            kb,
+            kmer_table,
+        )
+        return {kk: np.asarray(v) for kk, v in out.items()}
+
+    out = run(capacity)
+    if auto_capacity and int(out["overflow"]) > 0:
+        # frontier overflowed (losslessness at risk): retry once, 4x larger
+        out = run(capacity * 4)
     stats = dict(
         total_candidates=int(out["total"]),
         overflow=int(out["overflow"]),

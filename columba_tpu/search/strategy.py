@@ -44,6 +44,7 @@ class MappingConfig:
     max_scheme_k: int = 4     # highest k the chosen scheme family supports
     capacity: int | None = None
     max_locate: int = 1 << 16
+    kmer_table: object = None  # optional device seed table
 
 
 @dataclass
@@ -62,6 +63,7 @@ def map_batch_all(
     occs, stats = pipeline.match_all(
         index, reads, scheme, metric=cfg.metric,
         capacity=cfg.capacity, max_locate=cfg.max_locate,
+        kmer_table=cfg.kmer_table,
     )
     out = [MappedRead() for _ in range(len(reads))]
     for o in occs:
@@ -88,6 +90,7 @@ def map_batch_best(
         occs, _ = pipeline.match_all(
             index, reads, scheme, metric=cfg.metric,
             capacity=cfg.capacity, max_locate=cfg.max_locate,
+            kmer_table=cfg.kmer_table,
         )
         for o in occs:
             collected[o.read_id].append(o)
@@ -140,18 +143,24 @@ def emit_sam(
     index: FMIndex,
     kb: int,
     mode: str = "best",
+    xa_tag: bool = False,
+    unmapped_records: bool = True,
 ) -> list[str]:
-    """SAM lines for a batch (primary = best occurrence, others secondary)."""
+    """SAM lines for a batch (primary = best occurrence, others secondary;
+    with xa_tag, secondaries fold into the primary's XA:Z: tag instead,
+    reference: src/indexhelpers.h:418)."""
     genome = unpack_2bit(arrays.text, arrays.n)
     starts = arrays.seq_starts
     lines = []
     for rec, mr in zip(records, mapped):
         if not mr.occs:
-            lines.append(sam.unmapped_record(rec.name, rec.codes, rec.qual))
+            if unmapped_records:
+                lines.append(sam.unmapped_record(rec.name, rec.codes, rec.qual))
             continue
         occs = sorted(mr.occs, key=lambda o: (o.distance, o.begin, o.strand))
         mq = sam.mapq(mr.n_best)
-        for rank_i, o in enumerate(occs):
+        finalized = []
+        for o in occs:
             seq_codes = rec.codes if o.strand == 0 else alphabet.revcomp(rec.codes)
             qual = rec.qual if o.strand == 0 else rec.qual[::-1]
             # refine begin + CIGAR by host traceback around the end
@@ -161,15 +170,58 @@ def emit_sam(
                 seq_codes, window, len(window), kb
             )
             begin += w_lo
-            # sequence assignment
             sidx = int(np.searchsorted(starts, begin, side="right") - 1)
             sidx = max(0, min(sidx, len(arrays.seq_names) - 1))
             pos1 = begin - int(starts[sidx]) + 1
-            flag = (16 if o.strand else 0) | (256 if rank_i > 0 else 0)
-            lines.append(
-                sam.record(
-                    rec.name, flag, arrays.seq_names[sidx], pos1,
-                    mq if rank_i == 0 else 0, cigar, seq_codes, qual, ed,
+            finalized.append((o, seq_codes, qual, cigar, ed, sidx, pos1))
+        if xa_tag:
+            o, seq_codes, qual, cigar, ed, sidx, pos1 = finalized[0]
+            flag = 16 if o.strand else 0
+            line = sam.record(
+                rec.name, flag, arrays.seq_names[sidx], pos1, mq, cigar,
+                seq_codes, qual, ed,
+            ).rstrip("\n")
+            if len(finalized) > 1:
+                xa = "".join(
+                    f"{arrays.seq_names[sx]},{'-' if oo.strand else '+'}{pp},{cg},{e};"
+                    for oo, _, _, cg, e, sx, pp in finalized[1:]
                 )
-            )
+                line += f"\tX0:i:{mr.n_best}\tX1:i:{len(finalized)-mr.n_best}\tXA:Z:{xa}"
+            lines.append(line + "\n")
+        else:
+            for rank_i, (o, seq_codes, qual, cigar, ed, sidx, pos1) in enumerate(finalized):
+                flag = (16 if o.strand else 0) | (256 if rank_i > 0 else 0)
+                lines.append(
+                    sam.record(
+                        rec.name, flag, arrays.seq_names[sidx], pos1,
+                        mq if rank_i == 0 else 0, cigar, seq_codes, qual, ed,
+                    )
+                )
+    return lines
+
+
+def emit_rhs(
+    records,
+    mapped: list[MappedRead],
+    arrays: IndexArrays,
+) -> list[str]:
+    """Read-hit-summary lines: readID\t(seq,dist);(seq,dist)...
+    (reference: src/searchstrategy.h:1651-1685, src/indexhelpers.h:690-704).
+    """
+    starts = arrays.seq_starts
+    lines = []
+    for rec, mr in zip(records, mapped):
+        if not mr.occs:
+            lines.append(f"{rec.name}\n")
+            continue
+        combos = set()
+        for o in mr.occs:
+            sidx = int(np.searchsorted(starts, o.begin, side="right") - 1)
+            sidx = max(0, min(sidx, len(arrays.seq_names) - 1))
+            combos.add((o.distance, sidx))
+        parts = [
+            f"({arrays.seq_names[sidx]},{dist})"
+            for dist, sidx in sorted(combos)
+        ]
+        lines.append(rec.name + "\t" + ";".join(parts) + "\n")
     return lines

@@ -40,7 +40,7 @@ def test_occ_all(setup, rng):
     genome, arrays, fm, sa, bwt, rsa, rbwt = setup
     n1 = len(genome) + 1
     pos = rng.integers(0, n1 + 1, size=200).astype(np.int32)
-    got = np.asarray(rank.occ_all(fm.bwt_cat, fm.occ_cat, jnp.asarray(pos)))
+    got = np.asarray(rank.occ_all(fm.occ_fused, jnp.asarray(pos)))
     for i, p in enumerate(pos):
         for c in range(4):
             expect = naive_occ(bwt, c, p) + (
