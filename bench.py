@@ -21,9 +21,9 @@ import numpy as np
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 CACHE_DIR = "/tmp/columba_tpu_bench"
-GENOME_N = 8_000_000
+GENOME_N = 128_000_000
 READ_LEN = 100
-NUM_READS = 60_000
+NUM_READS = 100_000
 K = 2
 BATCH = 8192
 ERR_RATE = 0.01
@@ -78,8 +78,11 @@ def measure_tpu(arrays, reads) -> float:
     from columba_tpu.search.scheme import get_scheme
 
     index = FMIndex.from_arrays(arrays)
+    from columba_tpu.index.kmer import DEFAULT_K, build_kmer_table
+
+    kmer_table = build_kmer_table(index)
     scheme = get_scheme("kuch1", K)
-    sched = pipeline.compile_cached(scheme, READ_LEN, "edit")
+    sched = pipeline.compile_cached(scheme, READ_LEN, "edit", kmer_k=DEFAULT_K)
     t_back = jnp.asarray(sched.t_back)
     pivot = jnp.asarray(sched.pivot)
     capacity = 4 * BATCH  # 2*BATCH rows x 3 searches x ~2/3 exact-prefix survival
@@ -92,14 +95,14 @@ def measure_tpu(arrays, reads) -> float:
         return jnp.asarray(np.concatenate([b, rc]).astype(np.int32))
 
     step = jax.jit(
-        lambda idx, rd: pipeline.match_device_core(
-            idx, rd, sched, t_back, pivot, capacity, max_locate, K
+        lambda idx, rd, kt: pipeline.match_device_core(
+            idx, rd, sched, t_back, pivot, capacity, max_locate, K, kt
         )
     )
 
     # warmup / compile
     rows = batch_rows(reads[:BATCH])
-    out = step(index, rows)
+    out = step(index, rows, kmer_table)
     jax.block_until_ready(out)
 
     n_done = 0
@@ -109,7 +112,7 @@ def measure_tpu(arrays, reads) -> float:
     outs = []
     for off in range(BATCH, len(reads) - BATCH + 1, BATCH):
         rows = batch_rows(reads[off:off + BATCH])
-        out = step(index, rows)
+        out = step(index, rows, kmer_table)
         outs.append((out["overflow"], out["total"]))
         n_done += BATCH
     jax.block_until_ready(outs)

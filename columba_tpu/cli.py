@@ -55,6 +55,8 @@ def main(argv=None):
                    help="fold secondary alignments into the XA tag")
     a.add_argument("-nU", "--no-unmapped", action="store_true",
                    help="do not output unmapped reads")
+    a.add_argument("-nD", "--no-dynamic-selection", action="store_true",
+                   help="disable per-read dynamic scheme selection")
 
     args = parser.parse_args(argv)
     if args.cmd == "build":
@@ -104,6 +106,8 @@ def cmd_align(args):
         min_identity=args.min_identity,
         capacity=args.capacity,
         kmer_table=kmer_table,
+        dynamic_selection=(args.scheme == "columba"
+                           and not args.no_dynamic_selection),
     )
     kb_for = lambda k: k if args.metric == "edit" else 0
 

@@ -153,6 +153,7 @@ def run_scheme(
     sched: Schedule,
     capacity: int,
     kmer_table: jax.Array | None = None,
+    search_mask: jax.Array | None = None,
 ) -> FrontierResult:
     """Execute one compiled scheme over a read batch.
 
@@ -188,6 +189,10 @@ def run_scheme(
     else:
         assert sched.kmer_k == 0, "schedule compiled with kmer seeding but no table given"
         ranges0 = index.full_range((R * S,))
+
+    if search_mask is not None:
+        # dynamic scheme selection: only the chosen scheme's searches live
+        ranges0 = jnp.where(search_mask.reshape(-1)[:, None], ranges0, 0)
 
     def exact_step(rs, tab):
         ex_pos, ex_dir = tab  # (S,), (S,)

@@ -55,10 +55,12 @@ def match_device_core(
     max_locate: int,
     kb: int,
     kmer_table: jax.Array | None = None,
+    search_mask: jax.Array | None = None,
 ):
     """Device-side match step (unjitted; see also dist.mesh for the
     shard_map'd multi-chip version)."""
-    res = executor.run_scheme(index, reads, sched, capacity, kmer_table)
+    res = executor.run_scheme(index, reads, sched, capacity, kmer_table,
+                              search_mask)
 
     # two-phase expansion: candidate ranges -> flat rows (cap max_locate)
     widths = jnp.where(res.done, res.ranges[:, 1] - res.ranges[:, 0], 0)
@@ -110,6 +112,70 @@ def compile_cached(scheme: SearchScheme, m: int, metric: str,
     return _SCHED_CACHE[key]
 
 
+def part_exact_ranges(
+    index: FMIndex, reads: jax.Array, pts, kmer_table=None
+) -> jax.Array:
+    """Bidirectional exact-match ranges of every partition part, batched.
+
+    reads: (R, m) int32; pts: part boundaries (p+1,). Returns (R, p, 4).
+    The analogue of the reference's calculateExactMatchRanges
+    (src/searchstrategy.cpp:158-190); feeds dynamic scheme selection and
+    dynamic partitioning.
+    """
+    R, m = reads.shape
+    pl = [int(x) for x in pts]
+    p = len(pl) - 1
+    lens = [pl[i + 1] - pl[i] for i in range(p)]
+    maxlen = max(lens)
+    # patterns (R*p, maxlen): part i of read r, padded with 5
+    pats = np.full((p, maxlen), -1, dtype=np.int64)
+    for i in range(p):
+        pats[i, :lens[i]] = np.arange(pl[i], pl[i + 1])
+    pos = jnp.asarray(pats)                              # (p, maxlen)
+    chars = jnp.where(
+        (pos >= 0)[None], reads[:, jnp.clip(pos, 0, m - 1)], 5
+    )                                                    # (R, p, maxlen)
+    lengths = jnp.asarray(lens, dtype=jnp.int32)
+    flat = chars.reshape(R * p, maxlen).astype(jnp.int32)
+    flat_len = jnp.broadcast_to(lengths[None], (R, p)).reshape(-1)
+    rng = extend.exact_match(index, flat, flat_len)
+    return rng.reshape(R, p, 4)
+
+
+def select_schemes(
+    index: FMIndex,
+    batch: jax.Array,
+    schemes: list[SearchScheme],
+    kmer_table=None,
+) -> tuple[SearchScheme, np.ndarray, np.ndarray]:
+    """Dynamic per-read scheme selection.
+
+    Returns (combined scheme, search_mask (R, S_total) bool, choice (R,)).
+    Selection rule mirrors the reference (src/searchstrategy.h:2505-2537):
+    pick the scheme whose critical search starts at the part with the
+    fewest exact matches; fall back to scheme 0 when the total exact count
+    is <= #parts.
+    """
+    k = schemes[0].k
+    p = schemes[0].num_parts
+    m = batch.shape[1]
+    pts = schedule.uniform_partition(m, p)
+    ranges = np.asarray(part_exact_ranges(index, batch, pts, kmer_table))
+    widths = ranges[:, :, 1] - ranges[:, :, 0]           # (R, p)
+    crit = np.array([sc.critical_part_index for sc in schemes])
+    crit_w = widths[:, crit]                             # (R, n_schemes)
+    choice = np.argmin(crit_w, axis=1)
+    choice = np.where(widths.sum(axis=1) <= p, 0, choice)
+
+    all_searches = tuple(s for sc in schemes for s in sc.searches)
+    combined = SearchScheme(all_searches, k=k, name="+".join(sc.name for sc in schemes))
+    scheme_of = np.concatenate([
+        np.full(len(sc.searches), i) for i, sc in enumerate(schemes)
+    ])
+    mask = scheme_of[None, :] == choice[:, None]         # (R, S_total)
+    return combined, mask, choice
+
+
 def match_all(
     index: FMIndex,
     reads_codes: np.ndarray,
@@ -126,7 +192,7 @@ def match_all(
     reads_codes: (R, m) uint8 codes. Returns (occurrences, stats).
     """
     R, m = reads_codes.shape
-    k = scheme.k
+    k = scheme[0].k if isinstance(scheme, (list, tuple)) else scheme.k
     kb = k if metric == "edit" else 0
     if both_strands:
         rc = alphabet.revcomp(reads_codes, axis=-1)
@@ -139,13 +205,23 @@ def match_all(
 
     from columba_tpu.index.kmer import DEFAULT_K
 
+    search_mask = None
+    if isinstance(scheme, (list, tuple)):
+        scheme, mask_np, _ = select_schemes(
+            index, jnp.asarray(batch), list(scheme), kmer_table)
+        search_mask = jnp.asarray(mask_np)
+
     sched = compile_cached(scheme, m, metric,
                            kmer_k=DEFAULT_K if kmer_table is not None else 0)
     auto_capacity = capacity is None
     if auto_capacity:
         # tight frontier: exact-prefix deaths are compacted away at init,
-        # and an overflow triggers one retry at 4x
-        capacity = max(1024, batch.shape[0] * sched.num_searches)
+        # and an overflow triggers one retry at 4x. Under dynamic scheme
+        # selection only one scheme's searches are live per read.
+        live_s = sched.num_searches
+        if search_mask is not None:
+            live_s = int(np.asarray(search_mask).sum(axis=1).max())
+        capacity = max(1024, batch.shape[0] * live_s)
 
     def run(cap):
         out = _match_device(
@@ -158,6 +234,7 @@ def match_all(
             int(max_locate),
             kb,
             kmer_table,
+            search_mask,
         )
         return {kk: np.asarray(v) for kk, v in out.items()}
 

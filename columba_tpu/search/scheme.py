@@ -162,6 +162,20 @@ class SearchScheme:
             range(len(self.searches)), key=lambda i: self.searches[i].upper
         )
 
+    @property
+    def critical_part_index(self) -> int:
+        """Starting part of the critical search (the part whose exact-match
+        count drives dynamic scheme selection,
+        reference: src/searchstrategy.h:2505-2537)."""
+        return self.searches[self.critical_search_index].pi[0]
+
+    def mirrored(self) -> "SearchScheme":
+        """All searches with pi mirrored (reference mirrorPiStrings)."""
+        return SearchScheme(
+            tuple(s.mirrored() for s in self.searches), k=self.k,
+            name=self.name + "-mirror",
+        )
+
     def __str__(self):
         return "\n".join(str(s) for s in self.searches)
 
@@ -247,6 +261,27 @@ _BUILTIN_DIRS = {
 }
 
 
+def get_multi_scheme(name: str, k: int) -> list[SearchScheme]:
+    """Candidate scheme list for dynamic per-read selection.
+
+    'columba' mirrors the reference's DynamicColumbaStrategy
+    (src/searchstrategy.h:3666-3736): minU schemes + their mirrors + the
+    extra mid-anchored schemes for even k. Any other name yields
+    [scheme, scheme.mirrored()] (the reference's custom dynamic selection).
+    """
+    if name == "columba":
+        base = get_scheme("minU", k) if k >= 1 else exact_scheme()
+        out = [base, base.mirrored()]
+        if k in (2, 4, 6):
+            mid = load_scheme_folder(os.path.join(_SCHEME_DIR, "columba_mid"), k)
+            out.append(mid)
+            if k == 6:
+                out.append(mid.mirrored())
+        return out
+    base = get_scheme(name, k)
+    return [base, base.mirrored()]
+
+
 def get_scheme(name: str, k: int) -> SearchScheme:
     """Scheme registry: builtin generators + bundled data folders + custom
     folder paths (mirrors the reference's -S / -ss options)."""
@@ -256,6 +291,8 @@ def get_scheme(name: str, k: int) -> SearchScheme:
         return naive_scheme(k)
     if name == "pigeon":
         return pigeonhole_scheme(k)
+    if name == "columba":
+        return get_scheme("minU", k)  # single-scheme fallback
     folder = _BUILTIN_DIRS.get(name)
     if folder is not None:
         return load_scheme_folder(os.path.join(_SCHEME_DIR, folder), k)

@@ -36,6 +36,7 @@ def get_max_ed(min_identity: int, seq_size: int, max_supported: int = 4) -> int:
 @dataclass
 class MappingConfig:
     scheme_name: str = "kuch1"
+    dynamic_selection: bool = False  # per-read scheme choice (reference -S columba default)
     metric: str = "edit"
     mode: str = "best"        # "all" | "best"
     max_distance: int = 2     # ALL mode k (reference -e)
@@ -56,10 +57,20 @@ class MappedRead:
     n_best: int = 0
 
 
+def _scheme_for(cfg: MappingConfig, k: int):
+    if k == 0:
+        return get_scheme(cfg.scheme_name, 0)
+    if cfg.dynamic_selection or cfg.scheme_name == "columba":
+        from columba_tpu.search.scheme import get_multi_scheme
+
+        return get_multi_scheme(cfg.scheme_name, k)
+    return get_scheme(cfg.scheme_name, k)
+
+
 def map_batch_all(
     index: FMIndex, reads: np.ndarray, cfg: MappingConfig
 ) -> list[MappedRead]:
-    scheme = get_scheme(cfg.scheme_name, cfg.max_distance)
+    scheme = _scheme_for(cfg, cfg.max_distance)
     occs, stats = pipeline.match_all(
         index, reads, scheme, metric=cfg.metric,
         capacity=cfg.capacity, max_locate=cfg.max_locate,
@@ -86,7 +97,7 @@ def map_batch_best(
     collected: list[list] = [[] for _ in range(R)]
 
     def run_stratum(k: int):
-        scheme = get_scheme(cfg.scheme_name, k)
+        scheme = _scheme_for(cfg, k)
         occs, _ = pipeline.match_all(
             index, reads, scheme, metric=cfg.metric,
             capacity=cfg.capacity, max_locate=cfg.max_locate,

@@ -195,3 +195,44 @@ def test_kmer_table_and_seeded_matching(fm, rng):
     key = lambda os: {(o.read_id, o.strand, o.end, o.distance) for o in os}
     assert key(occs_plain) == key(occs_seeded)
     assert stats["overflow"] == 0
+
+
+def test_dynamic_scheme_selection(fm, rng):
+    """Multi-scheme dynamic selection finds the same occurrence set as each
+    single lossless scheme."""
+    from columba_tpu.search.scheme import get_multi_scheme
+
+    genome, index = fm
+    reads = sample_reads(rng, genome, num=10, length=72, max_err=2, edits=True)
+    multi = get_multi_scheme("kuch1", 2)
+    assert len(multi) == 2
+    occs_multi, stats = pipeline.match_all(
+        index, reads, multi, metric="edit", redundancy_filter=False,
+    )
+    occs_single, _ = pipeline.match_all(
+        index, reads, get_scheme("kuch1", 2), metric="edit",
+        redundancy_filter=False,
+    )
+    key = lambda os: {(o.read_id, o.strand, o.end, o.distance) for o in os}
+    assert key(occs_multi) == key(occs_single)
+    assert stats["overflow"] == 0
+
+
+def test_columba_multi_scheme(fm, rng):
+    from columba_tpu.search.scheme import get_multi_scheme
+
+    genome, index = fm
+    reads = sample_reads(rng, genome, num=6, length=100, max_err=2, edits=True)
+    multi = get_multi_scheme("columba", 2)
+    assert len(multi) == 3  # minU + mirror + mid
+    occs, stats = pipeline.match_all(
+        index, reads, multi, metric="edit", redundancy_filter=False,
+    )
+    # soundness + losslessness vs brute force
+    expect = set()
+    for i, r in enumerate(reads):
+        for strand, rr in ((0, r), (1, alphabet.revcomp(r))):
+            for e, d in brute_edit_ends(genome, rr, 2):
+                expect.add((i, strand, e, d))
+    got = {(o.read_id, o.strand, o.end, o.distance) for o in occs}
+    assert got == expect
