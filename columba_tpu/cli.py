@@ -57,6 +57,11 @@ def main(argv=None):
                    help="do not output unmapped reads")
     a.add_argument("-nD", "--no-dynamic-selection", action="store_true",
                    help="disable per-read dynamic scheme selection")
+    a.add_argument("-p", "--partitioning", choices=["uniform", "static"],
+                   default="uniform",
+                   help="read partitioning strategy (dynamic: planned)")
+    a.add_argument("-T", "--trim", default=None, metavar="START-END",
+                   help="trim reads to bases [START, END) before aligning")
 
     args = parser.parse_args(argv)
     if args.cmd == "build":
@@ -108,6 +113,7 @@ def cmd_align(args):
         kmer_table=kmer_table,
         dynamic_selection=(args.scheme == "columba"
                            and not args.no_dynamic_selection),
+        partitioning=args.partitioning,
     )
     kb_for = lambda k: k if args.metric == "edit" else 0
 
@@ -123,8 +129,13 @@ def cmd_align(args):
         if not rhs_output:
             out.write(sam.header(arrays.seq_names, seq_lengths,
                                  command_line=" ".join(sys.argv)))
+        reader = fastq.parse_reads(args.reads)
+        if args.trim:
+            start, end = (int(x) for x in args.trim.split("-"))
+            reader = fastq.trim_records(reader, start, end)
+        counters = {"reads": 0, "mapped": 0, "records": 0}
         for records, codes in fastq.batches_by_length(
-            fastq.parse_reads(args.reads), args.batch_size
+            reader, args.batch_size
         ):
             if args.mode == "all":
                 mapped = map_batch_all(index, codes, cfg)
@@ -145,12 +156,22 @@ def cmd_align(args):
                 out.write(line)
             n_reads += len(records)
             n_mapped += sum(1 for mr in mapped if mr.occs)
+            counters["records"] += sum(len(mr.occs) for mr in mapped)
             rate = n_reads / max(time.time() - t0, 1e-9)
             print(
                 f"[columba_tpu] {n_reads} reads, {n_mapped} mapped "
                 f"({rate:,.0f} reads/s)",
                 file=sys.stderr,
             )
+    # end-of-run statistics (reference: src/indexhelpers.cpp:388-513)
+    pct = 100.0 * n_mapped / max(n_reads, 1)
+    print(
+        f"[columba_tpu] done: {n_reads} reads, {pct:.2f}% mapped, "
+        f"{counters['records']} alignments, "
+        f"{counters['records'] / max(n_reads, 1):.2f} per read, "
+        f"total {time.time() - t0:.1f}s",
+        file=sys.stderr,
+    )
     return 0
 
 

@@ -84,3 +84,10 @@ def batches_by_length(records, batch_size: int):
             continue
         pad = [bucket[-1]] * (batch_size - len(bucket))
         yield bucket, np.stack([r.codes for r in bucket + pad])
+
+
+def trim_records(records, start: int, end: int):
+    """Trim reads to [start, end) (reference -T option,
+    src/parameters/alignparameters.cpp TrimOption)."""
+    for rec in records:
+        yield ReadRecord(rec.name, rec.codes[start:end], rec.qual[start:end])

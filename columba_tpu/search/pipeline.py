@@ -104,11 +104,15 @@ _SCHED_CACHE: dict = {}
 
 
 def compile_cached(scheme: SearchScheme, m: int, metric: str,
-                   kmer_k: int = 0) -> schedule.Schedule:
-    key = (scheme, m, metric, kmer_k)
+                   kmer_k: int = 0,
+                   partitioning: str = "uniform") -> schedule.Schedule:
+    key = (scheme, m, metric, kmer_k, partitioning)
     if key not in _SCHED_CACHE:
+        partition = None
+        if partitioning == "static" and scheme.static_fracs:
+            partition = schedule.static_partition(m, scheme.static_fracs)
         _SCHED_CACHE[key] = schedule.compile_schedule(
-            scheme, m, metric=metric, kmer_k=kmer_k)
+            scheme, m, partition=partition, metric=metric, kmer_k=kmer_k)
     return _SCHED_CACHE[key]
 
 
@@ -186,6 +190,7 @@ def match_all(
     both_strands: bool = True,
     redundancy_filter: bool = True,
     kmer_table=None,
+    partitioning: str = "uniform",
 ) -> tuple[list[Occurrence], dict]:
     """ALL-mode matching of a read batch: every occurrence with ed <= k.
 
@@ -212,7 +217,8 @@ def match_all(
         search_mask = jnp.asarray(mask_np)
 
     sched = compile_cached(scheme, m, metric,
-                           kmer_k=DEFAULT_K if kmer_table is not None else 0)
+                           kmer_k=DEFAULT_K if kmer_table is not None else 0,
+                           partitioning=partitioning)
     auto_capacity = capacity is None
     if auto_capacity:
         # tight frontier: exact-prefix deaths are compacted away at init,

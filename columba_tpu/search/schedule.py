@@ -98,6 +98,13 @@ def uniform_partition(m: int, p: int) -> np.ndarray:
     return np.array([(i * m) // p for i in range(p + 1)], dtype=np.int64)
 
 
+def static_partition(m: int, fracs) -> np.ndarray:
+    """Per-scheme optimal static boundaries
+    (reference: src/searchstrategy.cpp:221-238 ``partitionOptimalStatic``)."""
+    pts = [0] + [int(f * m) for f in fracs] + [m]
+    return np.array(pts, dtype=np.int64)
+
+
 def compile_schedule(
     scheme: SearchScheme,
     m: int,

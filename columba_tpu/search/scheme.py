@@ -124,6 +124,11 @@ class SearchScheme:
     searches: tuple[Search, ...]
     k: int
     name: str = "custom"
+    # optional per-scheme partitioning data (reference custom-folder files
+    # static_partitioning.txt / dynamic_partitioning.txt)
+    static_fracs: tuple[float, ...] | None = None
+    seed_fracs: tuple[float, ...] | None = None
+    weights: tuple[int, ...] | None = None
 
     def __post_init__(self):
         if not self.searches:
@@ -210,6 +215,23 @@ def load_scheme_folder(folder: str, k: int) -> SearchScheme:
         with open(name_file) as f:
             name = f.read().strip()
     scheme = parse_scheme_text(text, k=k, name=name)
+    static_file = os.path.join(folder, str(k), "static_partitioning.txt")
+    dyn_file = os.path.join(folder, str(k), "dynamic_partitioning.txt")
+    extra = {}
+    if os.path.exists(static_file):
+        with open(static_file) as f:
+            extra["static_fracs"] = tuple(float(x) for x in f.read().split())
+    if os.path.exists(dyn_file):
+        with open(dyn_file) as f:
+            lines = f.read().splitlines()
+        if lines and lines[0].strip():
+            extra["seed_fracs"] = tuple(float(x) for x in lines[0].split())
+        if len(lines) > 1 and lines[1].strip():
+            extra["weights"] = tuple(int(x) for x in lines[1].split())
+    if extra:
+        from dataclasses import replace
+
+        scheme = replace(scheme, **extra)
     if not scheme.is_valid():
         raise ValueError(
             f"scheme {name} k={k} is not lossless; uncovered: "

@@ -46,6 +46,7 @@ class MappingConfig:
     capacity: int | None = None
     max_locate: int = 1 << 16
     kmer_table: object = None  # optional device seed table
+    partitioning: str = "uniform"
 
 
 @dataclass
@@ -74,7 +75,7 @@ def map_batch_all(
     occs, stats = pipeline.match_all(
         index, reads, scheme, metric=cfg.metric,
         capacity=cfg.capacity, max_locate=cfg.max_locate,
-        kmer_table=cfg.kmer_table,
+        kmer_table=cfg.kmer_table, partitioning=cfg.partitioning,
     )
     out = [MappedRead() for _ in range(len(reads))]
     for o in occs:
@@ -101,7 +102,7 @@ def map_batch_best(
         occs, _ = pipeline.match_all(
             index, reads, scheme, metric=cfg.metric,
             capacity=cfg.capacity, max_locate=cfg.max_locate,
-            kmer_table=cfg.kmer_table,
+            kmer_table=cfg.kmer_table, partitioning=cfg.partitioning,
         )
         for o in occs:
             collected[o.read_id].append(o)

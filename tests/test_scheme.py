@@ -94,3 +94,35 @@ def test_part_too_short_raises():
     sch = get_scheme("pigeon", 4)  # 5 parts
     with pytest.raises(ValueError):
         schedule.compile_schedule(sch, 40, metric="edit")  # parts of 8 = 2k
+
+
+def test_static_partitioning_files():
+    sch = get_scheme("kuch1", 2)
+    assert sch.static_fracs == (0.41, 0.7)
+    assert sch.seed_fracs == (0.57,)
+    assert sch.weights == (39, 10, 40)
+    sd = schedule.compile_schedule(
+        sch, 100, partition=schedule.static_partition(100, sch.static_fracs),
+        metric="edit",
+    )
+    assert sd.m == 100
+
+
+def test_static_partition_conformance(rng):
+    import numpy as np
+
+    from columba_tpu.index.build import build_index_from_codes
+    from columba_tpu.index.fmindex import FMIndex
+    from columba_tpu.search import pipeline
+    from tests.conftest import make_genome, sample_reads
+
+    g = make_genome(np.random.default_rng(9), 8000)
+    index = FMIndex.from_arrays(build_index_from_codes(g))
+    reads = sample_reads(rng, g, num=6, length=80, max_err=2, edits=True)
+    key = lambda os: {(o.read_id, o.strand, o.end, o.distance) for o in os}
+    a, _ = pipeline.match_all(index, reads, get_scheme("kuch1", 2),
+                              metric="edit", redundancy_filter=False)
+    b, _ = pipeline.match_all(index, reads, get_scheme("kuch1", 2),
+                              metric="edit", redundancy_filter=False,
+                              partitioning="static")
+    assert key(a) == key(b)  # both lossless -> same occurrence set
