@@ -142,7 +142,12 @@ def cmd_align(args):
                 kb = kb_for(cfg.max_distance)
             else:
                 mapped = map_batch_best(index, codes, cfg)
-                kb = kb_for(4)
+                from columba_tpu.search.strategy import get_max_ed, max_supported_k
+
+                m_len = codes.shape[1]
+                kb = kb_for(get_max_ed(
+                    args.min_identity, m_len,
+                    max(max_supported_k(args.scheme, m_len, args.metric), 1)))
             mapped = mapped[: len(records)]
             if rhs_output:
                 from columba_tpu.search.strategy import emit_rhs
@@ -207,7 +212,13 @@ def _align_paired(args, arrays, index, cfg, kmer_table):
         print(f"[columba_tpu] inferred orientation={pcfg.orientation} "
               f"insert=[{pcfg.min_insert},{pcfg.max_insert}]", file=_sys.stderr)
 
-    k = cfg.max_distance if args.mode == "all" else 4
+    from columba_tpu.search.strategy import get_max_ed, max_supported_k
+
+    if args.mode == "all":
+        k = cfg.max_distance
+    else:
+        k = get_max_ed(args.min_identity, m,
+                       max(max_supported_k(args.scheme, m, args.metric), 1))
     kb = k if cfg.metric == "edit" else 0
     seq_lengths = list(np.diff(arrays.seq_starts))
     import sys as _sys

@@ -146,14 +146,25 @@ class SearchScheme:
 
     def uncovered_distributions(self) -> list[tuple[int, ...]]:
         """All error distributions summing to <= k not covered by any search
-        (empty iff the scheme is lossless for Hamming distance)."""
+        (empty iff the scheme is lossless for Hamming distance).
+
+        Enumerates only the C(p+k, k) distributions with sum <= k
+        (the reference's checker does the same,
+        validitychecker/validitychecker.py:46-67)."""
         p = self.num_parts
         bad = []
-        for dist in itertools.product(range(self.k + 1), repeat=p):
-            if sum(dist) > self.k:
-                continue
-            if not any(s.covers(dist) for s in self.searches):
-                bad.append(dist)
+
+        def rec(prefix, remaining):
+            if len(prefix) == p - 1:
+                for last in range(remaining + 1):
+                    dist = (*prefix, last)
+                    if not any(s.covers(dist) for s in self.searches):
+                        bad.append(dist)
+                return
+            for v in range(remaining + 1):
+                rec((*prefix, v), remaining - v)
+
+        rec((), self.k)
         return bad
 
     def is_valid(self) -> bool:
@@ -292,7 +303,7 @@ def get_multi_scheme(name: str, k: int) -> list[SearchScheme]:
     [scheme, scheme.mirrored()] (the reference's custom dynamic selection).
     """
     if name == "columba":
-        base = get_scheme("minU", k) if k >= 1 else exact_scheme()
+        base = get_scheme("columba", k) if k >= 1 else exact_scheme()
         out = [base, base.mirrored()]
         if k in (2, 4, 6):
             mid = load_scheme_folder(os.path.join(_SCHEME_DIR, "columba_mid"), k)
@@ -314,7 +325,11 @@ def get_scheme(name: str, k: int) -> SearchScheme:
     if name == "pigeon":
         return pigeonhole_scheme(k)
     if name == "columba":
-        return get_scheme("minU", k)  # single-scheme fallback
+        # minU for k <= 7, greedy pigeonhole-style schemes for 8..13
+        # (reference: src/searchstrategy.h ColumbaSearchStrategy)
+        if k <= 7:
+            return get_scheme("minU", k)
+        return load_scheme_folder(os.path.join(_SCHEME_DIR, "columba_greedy"), k)
     folder = _BUILTIN_DIRS.get(name)
     if folder is not None:
         return load_scheme_folder(os.path.join(_SCHEME_DIR, folder), k)

@@ -33,6 +33,31 @@ def get_max_ed(min_identity: int, seq_size: int, max_supported: int = 4) -> int:
     return min(BEST_CUTOFF, max_supported, cutoff)
 
 
+_PARTS_PER_K = {
+    "kuch1": lambda k: k + 1, "kuch2": lambda k: k + 2,
+    "pigeon": lambda k: k + 1, "kianfar": lambda k: k + 1,
+    "01*0": lambda k: k + 2, "minU": lambda k: k + 1,
+    "columba": lambda k: k + 1, "naive": lambda k: 1,
+}
+
+
+def max_supported_k(scheme_name: str, m: int, metric: str = "edit") -> int:
+    """Largest k whose schedule compiles for reads of length m: the family
+    must define schemes for k AND every part must exceed 2k (the band
+    overshoot constraint, search/schedule.py)."""
+    family_max = {"kuch1": 4, "kuch2": 4, "pigeon": 12, "kianfar": 4,
+                  "01*0": 4, "minU": 7, "columba": 13, "naive": 13}
+    parts = _PARTS_PER_K.get(scheme_name, lambda k: k + 1)
+    best = 0
+    for k in range(1, family_max.get(scheme_name, 4) + 1):
+        p = parts(k)
+        min_part = m // p
+        if metric == "edit" and min_part <= 2 * k:
+            break
+        best = k
+    return best
+
+
 @dataclass
 class MappingConfig:
     scheme_name: str = "kuch1"
@@ -42,7 +67,6 @@ class MappingConfig:
     max_distance: int = 2     # ALL mode k (reference -e)
     best_plus_x: int = 0      # BEST +x strata
     min_identity: int = 95
-    max_scheme_k: int = 4     # highest k the chosen scheme family supports
     capacity: int | None = None
     max_locate: int = 1 << 16
     kmer_table: object = None  # optional device seed table
@@ -91,7 +115,8 @@ def map_batch_best(
     index: FMIndex, reads: np.ndarray, cfg: MappingConfig
 ) -> list[MappedRead]:
     R, m = reads.shape
-    cutoff = get_max_ed(cfg.min_identity, m, cfg.max_scheme_k)
+    supported = max_supported_k(cfg.scheme_name, m, cfg.metric)
+    cutoff = get_max_ed(cfg.min_identity, m, max(supported, 1))
     x = cfg.best_plus_x
     out = [MappedRead() for _ in range(R)]
     best = np.full(R, cutoff + 1, dtype=np.int64)
