@@ -57,9 +57,10 @@ def main(argv=None):
                    help="do not output unmapped reads")
     a.add_argument("-nD", "--no-dynamic-selection", action="store_true",
                    help="disable per-read dynamic scheme selection")
-    a.add_argument("-p", "--partitioning", choices=["uniform", "static"],
-                   default="uniform",
-                   help="read partitioning strategy (dynamic: planned)")
+    a.add_argument("-p", "--partitioning",
+                   choices=["uniform", "static", "dynamic"],
+                   default="dynamic",
+                   help="read partitioning strategy (reference default: dynamic)")
     a.add_argument("-T", "--trim", default=None, metavar="START-END",
                    help="trim reads to bases [START, END) before aligning")
 

@@ -154,6 +154,7 @@ def run_scheme(
     capacity: int,
     kmer_table: jax.Array | None = None,
     search_mask: jax.Array | None = None,
+    dyn: dict | None = None,
 ) -> FrontierResult:
     """Execute one compiled scheme over a read batch.
 
@@ -166,8 +167,16 @@ def run_scheme(
     S = sched.num_searches
     C = int(capacity)
     bw = sched.bw
-    tables = _dev_tables(sched)
-    T = sched.t_max
+    if dyn is None:
+        tables = _dev_tables(sched)
+        T = sched.t_max
+        E = sched.e_max
+    else:
+        # parametric (per-read) schedule: see search/dynschedule.py
+        tables = dict(u_last=dyn["u_last"],
+                      colmin_init=None)
+        T = dyn["meta"].shape[1]
+        E = dyn["ex_pos"].shape[1]
 
     # ---------------- exact prefix ----------------
     rid0, sid0 = jnp.meshgrid(
@@ -175,7 +184,9 @@ def run_scheme(
         indexing="ij",
     )
     rid0, sid0 = rid0.reshape(-1), sid0.reshape(-1)
-    if sched.kmer_k > 0 and kmer_table is not None:
+    if dyn is not None:
+        ranges0 = index.full_range((R * S,))
+    elif sched.kmer_k > 0 and kmer_table is not None:
         from columba_tpu.index import kmer as kmer_mod
 
         kstart = jnp.asarray(sched.kmer_start)[sid0]          # (R*S,)
@@ -195,14 +206,20 @@ def run_scheme(
         ranges0 = jnp.where(search_mask.reshape(-1)[:, None], ranges0, 0)
 
     def exact_step(rs, tab):
-        ex_pos, ex_dir = tab  # (S,), (S,)
-        pos = ex_pos[sid0]
+        ex_pos, ex_dir = tab  # per-search (S,) or per-lane (R*S,)
+        pos = ex_pos if dyn is not None else ex_pos[sid0]
+        dr = ex_dir if dyn is not None else ex_dir[sid0]
         act = pos >= 0
         chars = reads[rid0, jnp.clip(pos, 0, m - 1)].astype(jnp.int32)
-        new = extend.extend_char(index, rs, chars, ex_dir[sid0])
+        new = extend.extend_char(index, rs, chars, dr)
         return jnp.where(act[:, None], new, rs), None
 
-    if sched.e_max > 0:
+    if dyn is not None:
+        if E > 0:
+            ranges0, _ = jax.lax.scan(
+                exact_step, ranges0, (dyn["ex_pos"].T, dyn["ex_dir"].T)
+            )
+    elif sched.e_max > 0:
         ranges0, _ = jax.lax.scan(
             exact_step, ranges0, (tables["ex_pos"], tables["ex_dir"])
         )
@@ -230,12 +247,17 @@ def run_scheme(
         shape = (C,) + (1,) * (out.ndim - 1)
         return jnp.where(live0.reshape(shape), out, jnp.asarray(fill, val.dtype))
 
-    band_init = jnp.asarray(sched.band_init, dtype=jnp.int8)[sid0]
+    if dyn is not None:
+        band_init = dyn["band_init"]
+        colmin_init = dyn["colmin_init"]
+    else:
+        band_init = jnp.asarray(sched.band_init, dtype=jnp.int8)[sid0]
+        colmin_init = tables["colmin_init"][sid0].astype(jnp.int8)
     state = _pack_state(
         take0(ranges0, 0),
         take0(rid0 * S + sid0, 0),
         take0(band_init, INF),
-        take0(tables["colmin_init"][sid0].astype(jnp.int8), INF),
+        take0(colmin_init, INF),
         bw,
     )
     visits0 = jnp.zeros((), jnp.int32)
@@ -244,7 +266,10 @@ def run_scheme(
     # one vectorized gather and with cell validity folded in (-1 = no diag,
     # -2 = invalid cell); the scan then does one contiguous row gather per
     # lane instead of a 2D element gather plus two mask lookups per step.
-    if T > 0:
+    if dyn is not None:
+        pchars_flat = dyn["pchars"]
+        meta_flat = dyn["meta"].reshape(-1)                   # (R*S*T,)
+    elif T > 0:
         posw_all = jnp.asarray(sched.posw)                    # (S, T, BW)
         pchars_all = reads.astype(jnp.int8)[:, posw_all]      # (R, S, T, BW)
         mv = jnp.asarray(sched.mvalid)
@@ -260,7 +285,10 @@ def run_scheme(
         ranges, ids, band, colmin = _unpack_state(st, bw)
         sid = ids % S
         alive = ranges[:, 1] > ranges[:, 0]
-        meta = meta_row[sid]                      # ONE per-lane table lookup
+        if dyn is not None:
+            meta = meta_flat[ids * T + t_idx]     # per-(read,search) scalars
+        else:
+            meta = meta_row[sid]                  # ONE per-lane table lookup
         act = ((meta & 1) == 1) & alive           # (C,)
         sd = (meta >> 1) & 1                      # (C,)
         visits = visits + jnp.sum(act.astype(jnp.int32)) * 4
@@ -360,10 +388,12 @@ def run_scheme(
         )
         return (new_state, overflow, visits), None
 
-    if sched.t_max > 0:
+    if T > 0:
+        meta_xs = (jnp.zeros((T, 1), jnp.int32) if dyn is not None
+                   else tables["meta"])
         (state, overflow0, visits0), _ = jax.lax.scan(
             step, (state, overflow0, visits0),
-            (tables["meta"], jnp.arange(T, dtype=jnp.int32)),
+            (meta_xs, jnp.arange(T, dtype=jnp.int32)),
         )
 
     ranges_f, ids_f, band_f, colmin_f = _unpack_state(state, bw)

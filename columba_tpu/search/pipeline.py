@@ -56,11 +56,12 @@ def match_device_core(
     kb: int,
     kmer_table: jax.Array | None = None,
     search_mask: jax.Array | None = None,
+    dyn: dict | None = None,
 ):
     """Device-side match step (unjitted; see also dist.mesh for the
     shard_map'd multi-chip version)."""
     res = executor.run_scheme(index, reads, sched, capacity, kmer_table,
-                              search_mask)
+                              search_mask, dyn)
 
     # two-phase expansion: candidate ranges -> flat rows (cap max_locate)
     widths = jnp.where(res.done, res.ranges[:, 1] - res.ranges[:, 0], 0)
@@ -75,7 +76,11 @@ def match_device_core(
 
     pos = locate.locate_rows(index, rows)
     sid = res.sid[cand]
-    est = pos + t_back[sid] - pivot[sid]
+    if dyn is not None:
+        lane = res.rid[cand] * sched.num_searches + sid
+        est = pos + dyn["t_back"][lane] - dyn["pivot"][lane]
+    else:
+        est = pos + t_back[sid] - pivot[sid]
     win_start = est - kb
     rid = res.rid[cand]
     final_rows = verify.verify_window(index, reads, rid, win_start, kb)
@@ -191,6 +196,7 @@ def match_all(
     redundancy_filter: bool = True,
     kmer_table=None,
     partitioning: str = "uniform",
+    partition_pts=None,
 ) -> tuple[list[Occurrence], dict]:
     """ALL-mode matching of a read batch: every occurrence with ed <= k.
 
@@ -216,9 +222,23 @@ def match_all(
             index, jnp.asarray(batch), list(scheme), kmer_table)
         search_mask = jnp.asarray(mask_np)
 
+    dyn = None
+    if partitioning == "dynamic" or partition_pts is not None:
+        from columba_tpu.search import dynschedule
+
+        st = dynschedule.scheme_static(scheme, m, metric)
+        if partition_pts is None:
+            partition_pts = dynschedule.dynamic_partition(
+                index, jnp.asarray(batch), scheme, kmer_table)
+        pts_dev = dynschedule.clamp_partition(
+            jnp.asarray(partition_pts, dtype=jnp.int32), m, kb)
+        dyn = dynschedule.build_tables(st, pts_dev, jnp.asarray(batch))
+
     sched = compile_cached(scheme, m, metric,
-                           kmer_k=DEFAULT_K if kmer_table is not None else 0,
-                           partitioning=partitioning)
+                           kmer_k=(DEFAULT_K if kmer_table is not None
+                                   and dyn is None else 0),
+                           partitioning="uniform" if dyn is not None
+                           else partitioning)
     auto_capacity = capacity is None
     if auto_capacity:
         # tight frontier: exact-prefix deaths are compacted away at init,
@@ -241,6 +261,7 @@ def match_all(
             kb,
             kmer_table,
             search_mask,
+            dyn,
         )
         return {kk: np.asarray(v) for kk, v in out.items()}
 

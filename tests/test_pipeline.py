@@ -236,3 +236,54 @@ def test_columba_multi_scheme(fm, rng):
                 expect.add((i, strand, e, d))
     got = {(o.read_id, o.strand, o.end, o.distance) for o in occs}
     assert got == expect
+
+
+def test_parametric_schedule_random_partitions(fm, rng):
+    """The per-read parametric schedule (dynamic-partitioning machinery)
+    must be lossless for ARBITRARY valid partitions: same occurrence set as
+    the static uniform schedule."""
+    genome, index = fm
+    m, k = 90, 2
+    reads = sample_reads(rng, genome, num=8, length=m, max_err=k, edits=True)
+    scheme = get_scheme("kuch1", k)
+    p = scheme.num_parts
+    # random boundaries respecting part length > 2k
+    R2 = 2 * len(reads)
+    pts = np.zeros((R2, p + 1), dtype=np.int32)
+    pts[:, p] = m
+    for r in range(R2):
+        while True:
+            cuts = np.sort(rng.integers(6, m - 6, size=p - 1))
+            cand = np.concatenate([[0], cuts, [m]])
+            if np.diff(cand).min() > 2 * k:
+                pts[r] = cand
+                break
+    occs_dyn, stats = pipeline.match_all(
+        index, reads, scheme, metric="edit", redundancy_filter=False,
+        partition_pts=pts,
+    )
+    occs_uni, _ = pipeline.match_all(
+        index, reads, scheme, metric="edit", redundancy_filter=False,
+    )
+    key = lambda os: {(o.read_id, o.strand, o.end, o.distance) for o in os}
+    assert stats["overflow"] == 0
+    assert key(occs_dyn) == key(occs_uni)
+
+
+def test_dynamic_partitioning_end_to_end(fm, rng):
+    """-p dynamic: greedy per-read partitions + parametric schedules give
+    the same occurrence set as uniform partitioning (losslessness)."""
+    genome, index = fm
+    m, k = 90, 2
+    reads = sample_reads(rng, genome, num=8, length=m, max_err=k, edits=True)
+    occs_dyn, stats = pipeline.match_all(
+        index, reads, get_scheme("kuch1", k), metric="edit",
+        redundancy_filter=False, partitioning="dynamic",
+    )
+    occs_uni, _ = pipeline.match_all(
+        index, reads, get_scheme("kuch1", k), metric="edit",
+        redundancy_filter=False,
+    )
+    key = lambda os: {(o.read_id, o.strand, o.end, o.distance) for o in os}
+    assert stats["overflow"] == 0
+    assert key(occs_dyn) == key(occs_uni)
