@@ -86,7 +86,10 @@ def measure_tpu(arrays, reads) -> float:
     t_back = jnp.asarray(sched.t_back)
     pivot = jnp.asarray(sched.pivot)
     capacity = 4 * BATCH  # 2*BATCH rows x 3 searches x ~2/3 exact-prefix survival
-    max_locate = 1 << 15
+    max_locate = 1 << 17
+    max_verify = 1 << 14
+    switchpoint = 4       # in-text crossover (reference default)
+    split_step, capacity2 = 2, max(1024, capacity // 16)
 
     from columba_tpu.core import alphabet
 
@@ -96,7 +99,9 @@ def measure_tpu(arrays, reads) -> float:
 
     step = jax.jit(
         lambda idx, rd, kt: pipeline.match_device_core(
-            idx, rd, sched, t_back, pivot, capacity, max_locate, K, kt
+            idx, rd, sched, t_back, pivot, capacity, max_locate, K, kt,
+            None, None, switchpoint, max_locate, split_step, capacity2,
+            max_verify,
         )
     )
 

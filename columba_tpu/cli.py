@@ -63,6 +63,8 @@ def main(argv=None):
                    help="read partitioning strategy (reference default: dynamic)")
     a.add_argument("-T", "--trim", default=None, metavar="START-END",
                    help="trim reads to bases [START, END) before aligning")
+    a.add_argument("-i", "--in-text", type=int, default=4,
+                   help="in-text verification switchpoint (0 disables)")
 
     args = parser.parse_args(argv)
     if args.cmd == "build":
@@ -115,6 +117,7 @@ def cmd_align(args):
         dynamic_selection=(args.scheme == "columba"
                            and not args.no_dynamic_selection),
         partitioning=args.partitioning,
+        switchpoint=args.in_text,
     )
     kb_for = lambda k: k if args.metric == "edit" else 0
 

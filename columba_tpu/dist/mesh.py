@@ -70,12 +70,14 @@ def sharded_match(
         out["overflow"] = jax.lax.psum(out["overflow"], "data")
         out["nodes_visited"] = jax.lax.psum(out["nodes_visited"], "data")
         out["total"] = jax.lax.psum(out["total"], "data")
+        out["n_unique"] = jax.lax.psum(out["n_unique"], "data")
         # keep per-shard arrays sharded; scalars replicated
         return out
 
     out_specs = dict(
         rid=P("data"), win_start=P("data"), final_rows=P("data"),
         valid=P("data"), total=P(), overflow=P(), nodes_visited=P(),
+        n_unique=P(),
     )
     # check_vma=False: the frontier scan's initial carry is replicated (built
     # from the replicated index) and becomes shard-varying after one step;

@@ -151,8 +151,9 @@ def build_tables(st: SchemeStatic, pts: jax.Array, reads: jax.Array) -> dict:
     db_list, df_list = [], []
     db = jnp.zeros((R, S), jnp.int32)
     df = jnp.zeros((R, S), jnp.int32)
-    prev_depth_list, steps_list = [], []
+    prev_depth_list, steps_list, db_before_list = [], [], []
     for i in range(p):
+        db_before_list.append(db)
         ex = is_ex[None, :, i]
         target_i = tgt[:, :, i]
         new_depth = jnp.where(ex, target_i, target_i + kb)
@@ -167,6 +168,7 @@ def build_tables(st: SchemeStatic, pts: jax.Array, reads: jax.Array) -> dict:
     t_back = db                                                  # (R,S)
     prev_depth = jnp.stack(prev_depth_list, axis=2)              # (R,S,p)
     steps = jnp.stack(steps_list, axis=2)                        # (R,S,p)
+    db_before = jnp.stack(db_before_list, axis=2)                # (R,S,p)
 
     ex_steps = jnp.where(is_ex[None], steps, 0)
     band_steps = jnp.where(is_ex[None], 0, steps)
@@ -205,12 +207,14 @@ def build_tables(st: SchemeStatic, pts: jax.Array, reads: jax.Array) -> dict:
     creset = active & in_window & (t_new == jnp.maximum(window_start, tgt_t - kb))
     colo = jnp.where(active & in_window & (o_acc >= 0) & (o_acc < bw), o_acc, -1)
 
+    db_t = jnp.where(side_t == 0, t_new, sel_phase(db_before))
     meta = (
         active.astype(jnp.int32)
         | (side_t << 1)
         | (creset.astype(jnp.int32) << 2)
         | ((colo + 1) << 3)
         | (ub_t << 8)
+        | (jnp.clip(db_t, 0, 4095) << 16)
     )                                                            # (R,S,T)
 
     # pchars codes per band cell
@@ -269,6 +273,7 @@ def build_tables(st: SchemeStatic, pts: jax.Array, reads: jax.Array) -> dict:
         t_back=t_back.reshape(R * S),
         pivot=pivot.reshape(R * S),
         u_last=jnp.asarray(st.u_last),
+        db_exact=exact_extent[..., 0].reshape(R * S),
     )
 
 

@@ -44,11 +44,17 @@ class FrontierResult:
     done: jax.Array       # (C,) bool: completed candidate
     overflow: jax.Array   # () int32: lanes dropped by capacity (0 => lossless)
     nodes_visited: jax.Array  # () int32 total extensions (Counters analogue)
+    # in-text verification crossover (switchpoint > 0): nodes whose range
+    # narrowed to <= switchpoint left the frontier into this buffer
+    # (reference: src/indexinterface.cpp:340-375 goToInTextVerificationEdit)
+    itv: jax.Array        # (M, 4) int32 rows [f_lo, f_hi, ids, back_depth]
+    itv_count: jax.Array  # () int32 valid rows (clamped to M)
 
 
 jax.tree_util.register_dataclass(
     FrontierResult,
-    data_fields=["ranges", "rid", "sid", "ed_lb", "done", "overflow", "nodes_visited"],
+    data_fields=["ranges", "rid", "sid", "ed_lb", "done", "overflow",
+                 "nodes_visited", "itv", "itv_count"],
     meta_fields=[],
 )
 
@@ -67,6 +73,7 @@ def _dev_tables(sched: Schedule) -> dict:
         | (sched.creset.astype(np.int32) << 2)
         | ((sched.colo.astype(np.int32) + 1) << 3)
         | (sched.ub.astype(np.int32) << 8)
+        | (sched.db.astype(np.int32) << 16)   # back depth, for in-text est
     )
     return dict(
         meta=jnp.asarray(meta.T),                    # (T, S) packed
@@ -155,6 +162,10 @@ def run_scheme(
     kmer_table: jax.Array | None = None,
     search_mask: jax.Array | None = None,
     dyn: dict | None = None,
+    switchpoint: int = 0,
+    itv_cap: int = 0,
+    split_step: int = 0,
+    capacity2: int = 0,
 ) -> FrontierResult:
     """Execute one compiled scheme over a read batch.
 
@@ -231,6 +242,23 @@ def run_scheme(
     # State compactness matters (the per-step compaction moves the whole
     # state): bands/colmin are int8 and rid/sid pack into one int32;
     # liveness is implicit (empty range = dead).
+    M = max(int(itv_cap), 1)
+    itv_buf0 = jnp.zeros((M + 1, 4), jnp.int32)
+    itv_cnt0 = jnp.zeros((), jnp.int32)
+    width0 = ranges0[:, 1] - ranges0[:, 0]
+    if switchpoint > 0:
+        db_ex = (jnp.asarray(sched.db_exact) if dyn is None
+                 else dyn["db_exact"])
+        narrow0 = (width0 > 0) & (width0 <= switchpoint)
+        np0 = jnp.cumsum(narrow0.astype(jnp.int32)) - 1
+        dest0i = jnp.where(narrow0, jnp.minimum(np0, M), M)
+        rows0 = jnp.stack(
+            [ranges0[:, 0], ranges0[:, 1], rid0 * S + sid0,
+             (db_ex[sid0] if dyn is None else db_ex)], axis=1)
+        itv_buf0 = itv_buf0.at[dest0i].set(rows0, mode="drop")
+        itv_cnt0 = jnp.minimum(np0[-1] + 1, M)
+        ranges0 = jnp.where(narrow0[:, None], 0, ranges0)
+
     alive0 = ranges0[:, 1] > ranges0[:, 0]
     pos0 = jnp.cumsum(alive0.astype(jnp.int32)) - 1
     dest0 = jnp.where(alive0, jnp.where(pos0 >= C, C, pos0), C)
@@ -279,9 +307,10 @@ def run_scheme(
         pchars_flat = pchars_all.reshape(R * S * T, bw)
 
     # ---------------- lockstep band steps ----------------
-    def step(carry, xs):
+    def make_step(C):
+      def step(carry, xs):
         meta_row, t_idx = xs                      # (S,) packed scalars
-        st, overflow, visits = carry
+        st, overflow, visits, itv_buf, itv_cnt = carry
         ranges, ids, band, colmin = _unpack_state(st, bw)
         sid = ids % S
         alive = ranges[:, 1] > ranges[:, 0]
@@ -331,7 +360,12 @@ def run_scheme(
         bound = (jnp.minimum(rowmin, col_contrib).astype(jnp.int32)
                  + cm_other.astype(jnp.int32)[:, None])
         ub = (meta >> 8) & 255
-        child_alive = act[:, None] & (width > 0) & (bound <= ub[:, None])
+        ok = act[:, None] & (width > 0) & (bound <= ub[:, None])
+        if switchpoint > 0:
+            narrow = ok & (width <= switchpoint)
+            child_alive = ok & ~narrow
+        else:
+            child_alive = ok
 
         # 5) expand: child slot 0 of inactive lanes passes the parent through
         def sel(child_val, parent_val):
@@ -360,6 +394,22 @@ def run_scheme(
         cm_f = jnp.where(((~is_b) & act)[:, None], new_cm_sd, cm1[:, None])
         ch_colmin = jnp.stack([cm_b, cm_f], axis=2)           # (C,4,2)
 
+        if switchpoint > 0:
+            flat_n = narrow.reshape(-1)
+            np_ = jnp.cumsum(flat_n.astype(jnp.int32)) - 1
+            dest_n = jnp.where(flat_n, jnp.minimum(itv_cnt + np_, M), M)
+            dbv = (meta >> 16) & 4095
+            rows = jnp.stack([
+                children[..., 0].reshape(-1),
+                children[..., 1].reshape(-1),
+                jnp.broadcast_to(ids[:, None], (C, 4)).reshape(-1),
+                jnp.broadcast_to(dbv[:, None], (C, 4)).reshape(-1),
+            ], axis=1)
+            itv_buf2 = itv_buf.at[dest_n].set(rows, mode="drop")
+            itv_cnt2 = jnp.minimum(itv_cnt + np_[-1] + 1, M)
+        else:
+            itv_buf2, itv_cnt2 = itv_buf, itv_cnt
+
         ch_packed = _pack_state(
             ch_ranges,
             jnp.broadcast_to(ids[:, None], (C, 4)),
@@ -386,15 +436,43 @@ def run_scheme(
             ch_packed.reshape(4 * C, W)[srcc],
             jnp.zeros((C, W), jnp.uint32),
         )
-        return (new_state, overflow, visits), None
+        return (new_state, overflow, visits, itv_buf2, itv_cnt2), None
+      return step
+
+    def shrink(st_packed, C_new, overflow):
+        """Compact a packed frontier into a smaller capacity (two-stage)."""
+        Cp = st_packed.shape[0]
+        alive = st_packed[:, 1].astype(jnp.int32) > st_packed[:, 0].astype(jnp.int32)
+        pos = jnp.cumsum(alive.astype(jnp.int32)) - 1
+        dest = jnp.where(alive, jnp.minimum(pos, C_new), C_new)
+        overflow = overflow + jnp.maximum(pos[-1] + 1 - C_new, 0)
+        src = jnp.full((C_new + 1,), Cp, jnp.int32)
+        src = src.at[dest].set(jnp.arange(Cp, dtype=jnp.int32), mode="drop")[:C_new]
+        live = src < Cp
+        out = st_packed[jnp.where(live, src, 0)]
+        return jnp.where(live[:, None], out, 0), overflow
 
     if T > 0:
         meta_xs = (jnp.zeros((T, 1), jnp.int32) if dyn is not None
                    else tables["meta"])
-        (state, overflow0, visits0), _ = jax.lax.scan(
-            step, (state, overflow0, visits0),
-            (meta_xs, jnp.arange(T, dtype=jnp.int32)),
-        )
+        steps_idx = jnp.arange(T, dtype=jnp.int32)
+        if 0 < split_step < T and 0 < capacity2 < C:
+            # stage 1 at full capacity: the switchpoint drains most lanes
+            (state, overflow0, visits0, itv_buf0, itv_cnt0), _ = jax.lax.scan(
+                make_step(C), (state, overflow0, visits0, itv_buf0, itv_cnt0),
+                (meta_xs[:split_step], steps_idx[:split_step]),
+            )
+            state, overflow0 = shrink(state, int(capacity2), overflow0)
+            (state, overflow0, visits0, itv_buf0, itv_cnt0), _ = jax.lax.scan(
+                make_step(int(capacity2)),
+                (state, overflow0, visits0, itv_buf0, itv_cnt0),
+                (meta_xs[split_step:], steps_idx[split_step:]),
+            )
+        else:
+            (state, overflow0, visits0, itv_buf0, itv_cnt0), _ = jax.lax.scan(
+                make_step(C), (state, overflow0, visits0, itv_buf0, itv_cnt0),
+                (meta_xs, steps_idx),
+            )
 
     ranges_f, ids_f, band_f, colmin_f = _unpack_state(state, bw)
     ed_lb = (colmin_f[:, 0].astype(jnp.int32)
@@ -410,4 +488,6 @@ def run_scheme(
         done=done,
         overflow=overflow0,
         nodes_visited=visits0,
+        itv=itv_buf0[:M],
+        itv_count=itv_cnt0,
     )

@@ -57,14 +57,51 @@ def match_device_core(
     kmer_table: jax.Array | None = None,
     search_mask: jax.Array | None = None,
     dyn: dict | None = None,
+    switchpoint: int = 0,
+    itv_cap: int = 0,
+    split_step: int = 0,
+    capacity2: int = 0,
+    max_verify: int | None = None,
 ):
+    if max_verify is None:
+        max_verify = max_locate
     """Device-side match step (unjitted; see also dist.mesh for the
     shard_map'd multi-chip version)."""
     res = executor.run_scheme(index, reads, sched, capacity, kmer_table,
-                              search_mask, dyn)
+                              search_mask, dyn, switchpoint, itv_cap,
+                              split_step, capacity2)
+
+    # unified candidate list: completed frontier nodes + in-text-crossover
+    # entries [f_lo, f_hi, ids, back_depth]
+    S = sched.num_searches
+    fr_lo = jnp.where(res.done, res.ranges[:, 0], 0)
+    fr_hi = jnp.where(res.done, res.ranges[:, 1], 0)
+    fr_rid = res.rid
+    fr_sid = res.sid
+    if dyn is not None:
+        lane_fr = fr_rid * S + fr_sid
+        fr_estb = dyn["t_back"][lane_fr] - dyn["pivot"][lane_fr]
+    else:
+        fr_estb = t_back[fr_sid] - pivot[fr_sid]
+
+    itv_rows = res.itv
+    iv_valid = jnp.arange(itv_rows.shape[0]) < res.itv_count
+    iv_lo = jnp.where(iv_valid, itv_rows[:, 0], 0)
+    iv_hi = jnp.where(iv_valid, itv_rows[:, 1], 0)
+    iv_rid = itv_rows[:, 2] // S
+    iv_sid = itv_rows[:, 2] % S
+    if dyn is not None:
+        iv_estb = itv_rows[:, 3] - dyn["pivot"][itv_rows[:, 2]]
+    else:
+        iv_estb = itv_rows[:, 3] - pivot[iv_sid]
+
+    c_lo = jnp.concatenate([fr_lo, iv_lo])
+    c_hi = jnp.concatenate([fr_hi, iv_hi])
+    c_rid = jnp.concatenate([fr_rid, iv_rid])
+    c_estb = jnp.concatenate([fr_estb, iv_estb])
 
     # two-phase expansion: candidate ranges -> flat rows (cap max_locate)
-    widths = jnp.where(res.done, res.ranges[:, 1] - res.ranges[:, 0], 0)
+    widths = jnp.maximum(c_hi - c_lo, 0)
     offsets = jnp.cumsum(widths)
     total = offsets[-1]
     j = jnp.arange(max_locate, dtype=jnp.int32)
@@ -72,33 +109,59 @@ def match_device_core(
     cand = jnp.clip(cand, 0, widths.shape[0] - 1)
     base = offsets[cand] - widths[cand]
     valid = j < jnp.minimum(total, max_locate)
-    rows = jnp.where(valid, res.ranges[cand, 0] + (j - base), 0)
+    rows = jnp.where(valid, c_lo[cand] + (j - base), 0)
 
     pos = locate.locate_rows(index, rows)
-    sid = res.sid[cand]
-    if dyn is not None:
-        lane = res.rid[cand] * sched.num_searches + sid
-        est = pos + dyn["t_back"][lane] - dyn["pivot"][lane]
-    else:
-        est = pos + t_back[sid] - pivot[sid]
+    est = pos + c_estb[cand]
     win_start = est - kb
-    rid = res.rid[cand]
-    final_rows = verify.verify_window(index, reads, rid, win_start, kb)
+    rid = c_rid[cand]
+
+    # dedup (read, window) pairs before the banded verification: different
+    # searches (and the in-text crossover) rediscover the same region many
+    # times over (the reference dedups FM-occurrences the same way,
+    # src/indexinterface.cpp:1381 eraseDoublesFM)
+    L = max_locate
+    big = jnp.int32(1 << 30)
+    rid_m = jnp.where(valid, rid, big)
+    win_m = jnp.where(valid, win_start, big)
+    order = jnp.lexsort((win_m, rid_m))
+    rid_s = rid_m[order]
+    win_s = win_m[order]
+    first = jnp.concatenate([
+        jnp.ones((1,), bool),
+        (rid_s[1:] != rid_s[:-1]) | (win_s[1:] != win_s[:-1]),
+    ])
+    uniq = first & (rid_s < big)
+    upos = jnp.cumsum(uniq.astype(jnp.int32)) - 1
+    n_uniq = upos[-1] + 1
+    V = max_verify
+    dest = jnp.where(uniq, jnp.minimum(upos, V), V)
+    src = jnp.full((V + 1,), L, jnp.int32)
+    src = src.at[dest].set(jnp.arange(L, dtype=jnp.int32), mode="drop")[:V]
+    vlive = src < L
+    srcc = jnp.where(vlive, src, 0)
+    rid_v = jnp.where(vlive, rid_s[srcc], 0)
+    win_v = jnp.where(vlive, win_s[srcc], 0)
+
+    final_rows = verify.verify_window(index, reads, rid_v, win_v, kb)
 
     return dict(
-        rid=rid,
-        win_start=win_start,
+        rid=rid_v,
+        win_start=win_v,
         final_rows=final_rows,
-        valid=valid,
+        valid=vlive,
         total=total,
+        n_unique=n_uniq,
         overflow=res.overflow,
         nodes_visited=res.nodes_visited,
     )
 
 
-_match_device = partial(jax.jit, static_argnames=("sched", "capacity", "max_locate", "kb"))(
-    match_device_core
-)
+_match_device = partial(
+    jax.jit,
+    static_argnames=("sched", "capacity", "max_locate", "kb", "switchpoint",
+                     "itv_cap", "split_step", "capacity2", "max_verify"),
+)(match_device_core)
 
 
 # ---------------------------------------------------------------------------
@@ -197,6 +260,7 @@ def match_all(
     kmer_table=None,
     partitioning: str = "uniform",
     partition_pts=None,
+    switchpoint: int = 0,
 ) -> tuple[list[Occurrence], dict]:
     """ALL-mode matching of a read batch: every occurrence with ed <= k.
 
@@ -249,7 +313,14 @@ def match_all(
             live_s = int(np.asarray(search_mask).sum(axis=1).max())
         capacity = max(1024, batch.shape[0] * live_s)
 
+    itv_cap = int(max_locate) if switchpoint > 0 else 0
+    # with the crossover draining most lanes within the first couple of
+    # steps, shrink the frontier early (two-stage scan); overflow triggers
+    # the 4x retry below, which scales both capacities
+    split_step = 2 if switchpoint > 0 else 0
+
     def run(cap):
+        cap2 = max(1024, cap // 16) if switchpoint > 0 else 0
         out = _match_device(
             index,
             jnp.asarray(batch),
@@ -262,6 +333,10 @@ def match_all(
             kmer_table,
             search_mask,
             dyn,
+            int(switchpoint),
+            itv_cap,
+            split_step,
+            cap2,
         )
         return {kk: np.asarray(v) for kk, v in out.items()}
 
@@ -273,7 +348,8 @@ def match_all(
         total_candidates=int(out["total"]),
         overflow=int(out["overflow"]),
         nodes_visited=int(out["nodes_visited"]),
-        locate_truncated=bool(out["total"] > max_locate),
+        locate_truncated=bool(out["total"] > max_locate)
+        or bool(out["n_unique"] > max_locate),
     )
 
     occs = _extract_occurrences(out, R, m, k, kb, redundancy_filter)

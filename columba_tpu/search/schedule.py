@@ -75,6 +75,8 @@ class Schedule:
     ub: np.ndarray           # U bound after this step
     colo: np.ndarray         # band cell to accumulate into colMin, or -1
     creset: np.ndarray       # reset colMin before accumulating
+    db: np.ndarray           # (S, T) back-side depth after each band step
+    db_exact: np.ndarray     # (S,) back depth right after the exact prefix
     # band cell tables (S, t_max, BW)
     posw: np.ndarray         # absolute read pos of the diag char, or 0
     mvalid: np.ndarray       # diag (match/mismatch) transition allowed
@@ -156,6 +158,8 @@ def compile_schedule(
     ub = np.full((S, t_max), k, dtype=np.int32)
     colo = np.full((S, t_max), -1, dtype=np.int32)
     creset = np.zeros((S, t_max), dtype=bool)
+    db = np.zeros((S, t_max), dtype=np.int32)
+    db_exact = np.zeros(S, dtype=np.int32)
     band_init = np.full((S, 2, bw), INF, dtype=np.int32)
     posw = np.zeros((S, t_max, bw), dtype=np.int32)
     mvalid = np.zeros((S, t_max, bw), dtype=bool)
@@ -178,6 +182,9 @@ def compile_schedule(
         ub[i, off:] = ps["ub"]
         colo[i, off:] = ps["colo"]
         creset[i, off:] = ps["creset"]
+        db[i, off:] = ps["db"]
+        db[i, :off] = ps["db_exact"]
+        db_exact[i] = ps["db_exact"]
         posw[i, off:] = ps["posw"]
         mvalid[i, off:] = ps["mvalid"]
         cvalid[i, off:] = ps["cvalid"]
@@ -190,7 +197,8 @@ def compile_schedule(
     return Schedule(
         k=k, kb=kb, m=m, num_searches=S, e_max=e_max, t_max=t_max,
         ex_pos=ex_pos, ex_dir=ex_dir, active=active, side=side, ub=ub,
-        colo=colo, creset=creset, posw=posw, mvalid=mvalid, cvalid=cvalid,
+        colo=colo, creset=creset, db=db, db_exact=db_exact,
+        posw=posw, mvalid=mvalid, cvalid=cvalid,
         u_last=u_last, t_back=t_back, pivot=pivot, colmin_init=colmin_init,
         band_init=band_init, kmer_start=kmer_start, kmer_k=kmer_k,
     )
@@ -231,7 +239,7 @@ def _compile_one(search, pts, kb):
     exact_extent = (b_prev, f_prev)
 
     # ---- band phases ----
-    side_l, ubv, colo, creset = [], [], [], []
+    side_l, ubv, colo, creset, db_rows = [], [], [], [], []
     posw, mvalid, cvalid = [], [], []
 
     def emit_row(sd, t_new, u, extent_target, window_start):
@@ -269,6 +277,7 @@ def _compile_one(search, pts, kb):
         while depth[sd] < goal:
             depth[sd] += 1
             emit_row(sd, depth[sd], search.upper[i], target, window_start)
+            db_rows.append(depth[0])
 
     # After the exact prefix each side's current extent is matched exactly,
     # so its completion minimum at that extent is 0. A side's first band
@@ -295,6 +304,8 @@ def _compile_one(search, pts, kb):
         ex_dir=np.array(ex_dir, dtype=np.int32),
         side=np.array(side_l, dtype=np.int32),
         ub=np.array(ubv, dtype=np.int32),
+        db=np.array(db_rows, dtype=np.int32),
+        db_exact=b_prev,
         colo=np.array(colo, dtype=np.int32),
         creset=np.array(creset, dtype=bool),
         posw=np.array(posw, dtype=np.int32).reshape(-1, 2 * kb + 1),

@@ -67,6 +67,7 @@ class MappingConfig:
     max_distance: int = 2     # ALL mode k (reference -e)
     best_plus_x: int = 0      # BEST +x strata
     min_identity: int = 95
+    switchpoint: int = 4      # in-text crossover (reference -i, default 4)
     capacity: int | None = None
     max_locate: int = 1 << 16
     kmer_table: object = None  # optional device seed table
@@ -100,6 +101,7 @@ def map_batch_all(
         index, reads, scheme, metric=cfg.metric,
         capacity=cfg.capacity, max_locate=cfg.max_locate,
         kmer_table=cfg.kmer_table, partitioning=cfg.partitioning,
+        switchpoint=cfg.switchpoint,
     )
     out = [MappedRead() for _ in range(len(reads))]
     for o in occs:
@@ -128,6 +130,7 @@ def map_batch_best(
             index, reads, scheme, metric=cfg.metric,
             capacity=cfg.capacity, max_locate=cfg.max_locate,
             kmer_table=cfg.kmer_table, partitioning=cfg.partitioning,
+            switchpoint=cfg.switchpoint,
         )
         for o in occs:
             collected[o.read_id].append(o)

@@ -1,0 +1,36 @@
+"""Golden parity vs the reference binary (skipped when it is not built).
+
+Build it first with: bash tools/build_reference.sh
+These are small smoke-scale versions of tools/parity.py runs; the full
+battery lives there.
+"""
+
+import os
+import sys
+
+import pytest
+
+REF = "/tmp/colbuild/columba"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF), reason="reference binary not built"
+)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _run(level, args_list, wd):
+    from tools import parity
+
+    rc = parity.main(args_list + ["--level", level, "--wd", wd,
+                                  "--reads", "60", "--genome", "60000"])
+    assert rc == 0, f"parity mismatch for {args_list}"
+
+
+@pytest.mark.parametrize("spec", [
+    ["--mode", "all", "--metric", "hamming", "-e", "2"],
+    ["--mode", "all", "--metric", "edit", "-e", "2", "--edits"],
+    ["--mode", "best", "--metric", "edit", "--edits"],
+])
+def test_parity_smoke(tmp_path, spec):
+    _run("positions", spec, str(tmp_path))

@@ -287,3 +287,19 @@ def test_dynamic_partitioning_end_to_end(fm, rng):
     key = lambda os: {(o.read_id, o.strand, o.end, o.distance) for o in os}
     assert stats["overflow"] == 0
     assert key(occs_dyn) == key(occs_uni)
+
+
+@pytest.mark.parametrize("partitioning", ["uniform", "dynamic"])
+def test_in_text_crossover_equivalence(fm, rng, partitioning):
+    """switchpoint > 0 (mid-search in-text verification) must report the
+    same occurrence set as pure in-index search."""
+    genome, index = fm
+    m, k = 90, 2
+    reads = sample_reads(rng, genome, num=10, length=m, max_err=k, edits=True)
+    kw = dict(metric="edit", redundancy_filter=False, partitioning=partitioning)
+    base, _ = pipeline.match_all(index, reads, get_scheme("kuch1", k), **kw)
+    itv, stats = pipeline.match_all(
+        index, reads, get_scheme("kuch1", k), switchpoint=4, **kw)
+    key = lambda os: {(o.read_id, o.strand, o.end, o.distance) for o in os}
+    assert stats["overflow"] == 0
+    assert key(base) == key(itv)
