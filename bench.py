@@ -118,17 +118,18 @@ def measure_tpu(arrays, reads) -> float:
     for off in range(BATCH, len(reads) - BATCH + 1, BATCH):
         rows = batch_rows(reads[off:off + BATCH])
         out = step(index, rows, kmer_table)
-        outs.append((out["overflow"], out["total"]))
+        outs.append((out["overflow"], out["total"], out["n_unique"]))
         n_done += BATCH
     jax.block_until_ready(outs)
     dt = time.time() - t0
-    overflow = sum(int(o) for o, _ in outs)
-    total_cands = sum(int(t) for _, t in outs)
+    overflow = sum(int(o) for o, _, _ in outs)
+    total_cands = sum(int(t) for _, t, _ in outs)
+    verify_spill = sum(max(int(u) - max_verify, 0) for _, _, u in outs)
     print(f"[bench] {n_done} reads, {total_cands} candidates, "
-          f"overflow={overflow}", file=sys.stderr)
-    if overflow:
-        print("[bench] WARNING: frontier overflow (capacity too small)",
-              file=sys.stderr)
+          f"overflow={overflow}, verify_spill={verify_spill}", file=sys.stderr)
+    if overflow or verify_spill:
+        print("[bench] WARNING: frontier overflow / verify spill "
+              "(capacity too small)", file=sys.stderr)
     return n_done / dt
 
 
