@@ -31,20 +31,21 @@ def gather_window(index: FMIndex, starts: jax.Array, width: int) -> jax.Array:
     text (per-character gathers are ~width x slower on TPU), then unpacks
     and slices the requested window.
     """
-    assert width <= 129, "gather_window supports widths up to 129"
+    nblk = -(-(width + 127) // 128)  # blocks so offset(<=127)+width fits
     n = index.n_arr[0]
     text2d = index.text[: (index.text.shape[0] // 8) * 8].reshape(-1, 8)
     nb = text2d.shape[0]
     start_blk = jnp.clip(starts, 0, None) >> 7              # 128-char blocks
-    b0 = jnp.clip(start_blk, 0, nb - 1)
-    b1 = jnp.clip(start_blk + 1, 0, nb - 1)
-    wvals = jnp.concatenate([text2d[b0], text2d[b1]], axis=1)  # (B, 16) words
+    wvals = jnp.concatenate(
+        [text2d[jnp.clip(start_blk + i, 0, nb - 1)] for i in range(nblk + 1)],
+        axis=1)                                             # (B, 8*(nblk+1))
     shifts = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
     chars = ((wvals[..., None] >> shifts) & 3).astype(jnp.int32)
-    chars = chars.reshape(wvals.shape[0], -1)               # (B, 256)
+    chars = chars.reshape(wvals.shape[0], -1)               # (B, 128*(nblk+1))
     off = jnp.clip(starts, 0, None) - (start_blk << 7)      # (B,) in [0,127]
     cols = off[:, None] + jnp.arange(width, dtype=jnp.int32)
-    codes = jnp.take_along_axis(chars, jnp.clip(cols, 0, 255), axis=1)
+    codes = jnp.take_along_axis(
+        chars, jnp.clip(cols, 0, chars.shape[1] - 1), axis=1)
     pos = starts[:, None] + jnp.arange(width, dtype=jnp.int32)[None, :]
     inb = (pos >= 0) & (pos < n)
     return jnp.where(inb, codes, 4)

@@ -60,27 +60,32 @@ jax.tree_util.register_dataclass(
 
 
 def _dev_tables(sched: Schedule) -> dict:
-    """Schedule tables as device arrays, stacked for lax.scan over steps.
+    """Schedule tables as device arrays, stacked for the step loop.
 
-    All per-(search, step) scalars pack into ONE int32 so the scan body does
-    a single per-lane table lookup instead of seven:
-      bit 0: active; bit 1: side; bit 2: creset; bits 3-7: colo+1;
-      bits 8-15: ub.
+    Per-(search, step) scalars pack into one int32 meta word (bit 0: active;
+    bit 1: side; bits 2-5: cacc register; bits 6-9: cfro register; bits
+    10-17: ub; bits 18-29: back depth) plus the two packed colMin
+    register-op words each of cops/cini, stacked as one (T, S, 5) array so
+    the loop body does a single dynamic row gather per step.
     """
     meta = (
         sched.active.astype(np.int32)
         | (sched.side.astype(np.int32) << 1)
-        | (sched.creset.astype(np.int32) << 2)
-        | ((sched.colo.astype(np.int32) + 1) << 3)
-        | (sched.ub.astype(np.int32) << 8)
-        | (sched.db.astype(np.int32) << 16)   # back depth, for in-text est
+        | (sched.cacc.astype(np.int32) << 2)
+        | (sched.cfro.astype(np.int32) << 6)
+        | (sched.ub.astype(np.int32) << 10)
+        | (sched.db.astype(np.int32) << 18)   # back depth, for in-text est
     )
+    mrow = np.stack(
+        [meta.T, sched.cops[:, :, 0].T, sched.cops[:, :, 1].T,
+         sched.cini[:, :, 0].T, sched.cini[:, :, 1].T], axis=-1)
     return dict(
-        meta=jnp.asarray(meta.T),                    # (T, S) packed
+        mrow=jnp.asarray(mrow),                      # (T, S, 5) packed
         ex_pos=jnp.asarray(sched.ex_pos.T),          # (E, S)
         ex_dir=jnp.asarray(sched.ex_dir.T),          # (E, S)
         u_last=jnp.asarray(sched.u_last),            # (S,)
-        colmin_init=jnp.asarray(sched.colmin_init),  # (S, 2)
+        colmin_init=jnp.asarray(sched.colmin_init),  # (S, 2, W)
+        final_reg=jnp.asarray(sched.final_reg),      # (S, 2)
     )
 
 
@@ -108,23 +113,27 @@ def _band_row_update(prev, pchars, bw):
             d = jnp.minimum(nl[:, o:o + 1], d + one)
             cols.append(d)
         row = jnp.concatenate(cols, axis=1) if bw > 1 else nl
-        rows.append(jnp.where(cval, row, jnp.asarray(INF, prev.dtype)))
+        # saturate at INF so int8 cells cannot overflow over long schedules
+        # (k=13 runs 120+ rows); saturation only loosens bounds and every
+        # candidate is re-verified in-text.
+        rows.append(jnp.where(cval, jnp.minimum(row, jnp.asarray(INF, prev.dtype)),
+                              jnp.asarray(INF, prev.dtype)))
     return jnp.stack(rows, axis=1)
 
 
 
-def _pack_state(ranges, ids, band, colmin, bw):
+def _pack_state(ranges, ids, band, colmin, bw, W):
     """Pack one frontier lane's state into uint32 words.
 
-    Layout: w0..w3 ranges, w4 ids, then 2*bw band bytes + 2 colmin bytes
+    Layout: w0..w3 ranges, w4 ids, then 2*bw band bytes + 2*W colmin bytes
     little-endian-packed 4 per word. One contiguous row per lane makes the
     per-step compaction a single row gather.
     """
     lead = ranges.shape[:-1]
-    nb = 2 * bw + 2
+    nb = 2 * bw + 2 * W
     nw = (nb + 3) // 4
     by = jnp.concatenate(
-        [band.reshape(*lead, 2 * bw), colmin.reshape(*lead, 2)], axis=-1
+        [band.reshape(*lead, 2 * bw), colmin.reshape(*lead, 2 * W)], axis=-1
     ).astype(jnp.uint8).astype(jnp.uint32)
     pad = nw * 4 - nb
     if pad:
@@ -139,18 +148,18 @@ def _pack_state(ranges, ids, band, colmin, bw):
     )
 
 
-def _unpack_state(packed, bw):
+def _unpack_state(packed, bw, W):
     lead = packed.shape[:-1]
     ranges = packed[..., :4].astype(jnp.int32)
     ids = packed[..., 4].astype(jnp.int32)
-    nb = 2 * bw + 2
+    nb = 2 * bw + 2 * W
     nw = (nb + 3) // 4
     words = packed[..., 5:5 + nw]                         # (..., nw) uint32
     shifts = (8 * jnp.arange(4, dtype=jnp.uint32))
     by = ((words[..., None] >> shifts) & jnp.uint32(0xFF)).astype(jnp.int8)
     by = by.reshape(*lead, nw * 4)[..., :nb]
     band = by[..., :2 * bw].reshape(*lead, 2, bw)
-    colmin = by[..., 2 * bw:]
+    colmin = by[..., 2 * bw:].reshape(*lead, 2, W)
     return ranges, ids, band, colmin
 
 
@@ -182,12 +191,16 @@ def run_scheme(
         tables = _dev_tables(sched)
         T = sched.t_max
         E = sched.e_max
+        W = int(getattr(sched, "W", 1))
     else:
         # parametric (per-read) schedule: see search/dynschedule.py
+        # (single colMin register: dynamic partitioning clamps every part
+        # to length > 2k, so windows never overlap)
         tables = dict(u_last=dyn["u_last"],
                       colmin_init=None)
         T = dyn["meta"].shape[1]
         E = dyn["ex_pos"].shape[1]
+        W = 1
 
     # ---------------- exact prefix ----------------
     rid0, sid0 = jnp.meshgrid(
@@ -277,7 +290,7 @@ def run_scheme(
 
     if dyn is not None:
         band_init = dyn["band_init"]
-        colmin_init = dyn["colmin_init"]
+        colmin_init = dyn["colmin_init"].reshape(R * S, 2, 1)
     else:
         band_init = jnp.asarray(sched.band_init, dtype=jnp.int8)[sid0]
         colmin_init = tables["colmin_init"][sid0].astype(jnp.int8)
@@ -286,7 +299,7 @@ def run_scheme(
         take0(rid0 * S + sid0, 0),
         take0(band_init, INF),
         take0(colmin_init, INF),
-        bw,
+        bw, W,
     )
     visits0 = jnp.zeros((), jnp.int32)
 
@@ -309,15 +322,32 @@ def run_scheme(
     # ---------------- lockstep band steps ----------------
     def make_step(C):
       def step(carry, xs):
-        meta_row, t_idx = xs                      # (S,) packed scalars
+        meta_row, t_idx = xs                      # (S, 5) packed scalars
         st, overflow, visits, itv_buf, itv_cnt = carry
-        ranges, ids, band, colmin = _unpack_state(st, bw)
+        ranges, ids, band, colmin = _unpack_state(st, bw, W)
         sid = ids % S
         alive = ranges[:, 1] > ranges[:, 0]
         if dyn is not None:
             meta = meta_flat[ids * T + t_idx]     # per-(read,search) scalars
+            # translate the single-register dyn meta layout (bit 2: creset,
+            # bits 3-7: colo+1, bits 8-15 ub, bits 16-27 db) into register-op
+            # form (W == 1 for parametric schedules)
+            colo_d = ((meta >> 3) & 31) - 1
+            cops_w = [jnp.where(colo_d >= 0,
+                                colo_d | (((meta >> 2) & 1) << 5), 31)]
+            cini_w = [jnp.full_like(meta, 63)]
+            cacc_l = jnp.where(colo_d >= 0, 0, 15)
+            cfro_l = jnp.zeros_like(meta)
+            ub = (meta >> 8) & 255
+            dbv = (meta >> 16) & 4095
         else:
-            meta = meta_row[sid]                  # ONE per-lane table lookup
+            meta = meta_row[sid, 0]               # ONE per-lane table lookup
+            cops_w = [meta_row[sid, 1], meta_row[sid, 2]]
+            cini_w = [meta_row[sid, 3], meta_row[sid, 4]]
+            cacc_l = (meta >> 2) & 15
+            cfro_l = (meta >> 6) & 15
+            ub = (meta >> 10) & 255
+            dbv = (meta >> 18) & 4095
         act = ((meta & 1) == 1) & alive           # (C,)
         sd = (meta >> 1) & 1                      # (C,)
         visits = visits + jnp.sum(act.astype(jnp.int32)) * 4
@@ -333,33 +363,46 @@ def run_scheme(
         pchars = pchars_flat[ids * T + t_idx]                 # (C, BW) int8
         newD = _band_row_update(prev, pchars, bw)             # (C, 4ch, BW) int8
 
-        # 3) colMin (cell pick via unrolled selects, not take_along_axis)
-        o = ((meta >> 3) & 31) - 1                            # (C,)
-        cm0, cm1 = colmin[:, 0], colmin[:, 1]
-        cm_sd = jnp.where(is_b, cm0, cm1)
-        cm_other = jnp.where(is_b, cm1, cm0)
-        cm_base = jnp.where((meta & 4) == 4, jnp.int8(INF), cm_sd)
-        acc = jnp.full((C, 4), INF, jnp.int8)
-        for o_ in range(bw):
-            acc = jnp.where((o == o_)[:, None], newD[:, :, o_], acc)
-        new_cm_sd = jnp.where(
-            (o >= 0)[:, None], jnp.minimum(cm_base[:, None], acc), cm_sd[:, None]
-        )                                                     # (C, 4ch) int8
+        # 3) colMin registers (cell picks via unrolled selects, not
+        # take_along_axis). Each of the W rotating registers accumulates
+        # its window's cell; windows overlap when parts are shorter than
+        # 2k+1 (schedule.py assigns registers by interval coloring).
+        cm0, cm1 = colmin[:, 0], colmin[:, 1]                 # (C, W)
+        cm_sd = jnp.where(is_b[:, None], cm0, cm1)            # (C, W)
+        cm_other = jnp.where(is_b[:, None], cm1, cm0)         # (C, W)
+        regs = []
+        for w_ in range(W):
+            op = (cops_w[w_ // 5] >> (6 * (w_ % 5))) & 63     # (C,)
+            cell = op & 31
+            rst = (op & 32) == 32
+            ini = ((cini_w[w_ // 5] >> (6 * (w_ % 5))) & 63).astype(jnp.int8)
+            base = jnp.where(rst, jnp.minimum(jnp.int8(INF), ini),
+                             cm_sd[:, w_])
+            acc = jnp.full((C, 4), INF, jnp.int8)
+            for o_ in range(bw):
+                acc = jnp.where((cell == o_)[:, None], newD[:, :, o_], acc)
+            regs.append(jnp.where(
+                (cell < 31)[:, None],
+                jnp.minimum(base[:, None], acc), cm_sd[:, w_][:, None]))
+        new_cm_sd = jnp.stack(regs, axis=2)                   # (C, 4ch, W)
 
-        # 4) prune. colMin participates in the bound only inside its
-        # accumulation window (where it is fresh for the current extent);
-        # elsewhere it is stale from a previous extent and min-ing it in
-        # would disable rowMin pruning entirely. Outside the window the
-        # rowMin bound alone is lossless: any covered occurrence's alignment
-        # path keeps a band cell <= U_phase until its completion rows, and
-        # completion rows are exactly the window rows where colMin takes
-        # over (deficit/surplus completions).
+        # 4) prune. The CURRENT phase's window register participates in the
+        # bound only while fresh (cacc = 7 outside the window); the other
+        # side contributes its last COMPLETED window's register (cfro; 7 =
+        # none completed yet => 0, the exact prefix's completion minimum).
+        # Outside the window the rowMin bound alone is lossless: a covered
+        # occurrence's alignment path keeps a band cell <= U_phase until
+        # its completion rows, which are exactly the window rows.
         width = children[..., 1] - children[..., 0]           # (C, 4ch)
         rowmin = jnp.min(newD, axis=-1)                       # (C, 4ch)
-        col_contrib = jnp.where((o >= 0)[:, None], new_cm_sd, jnp.int8(INF))
+        col_contrib = jnp.full((C, 4), INF, jnp.int8)
+        cm_other_v = jnp.zeros((C,), jnp.int8)
+        for w_ in range(W):
+            col_contrib = jnp.where((cacc_l == w_)[:, None],
+                                    new_cm_sd[:, :, w_], col_contrib)
+            cm_other_v = jnp.where(cfro_l == w_, cm_other[:, w_], cm_other_v)
         bound = (jnp.minimum(rowmin, col_contrib).astype(jnp.int32)
-                 + cm_other.astype(jnp.int32)[:, None])
-        ub = (meta >> 8) & 255
+                 + cm_other_v.astype(jnp.int32)[:, None])
         ok = act[:, None] & (width > 0) & (bound <= ub[:, None])
         if switchpoint > 0:
             narrow = ok & (width <= switchpoint)
@@ -390,15 +433,16 @@ def run_scheme(
             ((~is_b) & act)[:, None, None], newD,
             jnp.broadcast_to(band[:, None, 1], (C, 4, bw)))
         ch_band = jnp.stack([band_b, band_f], axis=2)         # (C,4,2,BW)
-        cm_b = jnp.where((is_b & act)[:, None], new_cm_sd, cm0[:, None])
-        cm_f = jnp.where(((~is_b) & act)[:, None], new_cm_sd, cm1[:, None])
-        ch_colmin = jnp.stack([cm_b, cm_f], axis=2)           # (C,4,2)
+        cm_b = jnp.where((is_b & act)[:, None, None], new_cm_sd,
+                         jnp.broadcast_to(cm0[:, None], (C, 4, W)))
+        cm_f = jnp.where(((~is_b) & act)[:, None, None], new_cm_sd,
+                         jnp.broadcast_to(cm1[:, None], (C, 4, W)))
+        ch_colmin = jnp.stack([cm_b, cm_f], axis=2)           # (C,4,2,W)
 
         if switchpoint > 0:
             flat_n = narrow.reshape(-1)
             np_ = jnp.cumsum(flat_n.astype(jnp.int32)) - 1
             dest_n = jnp.where(flat_n, jnp.minimum(itv_cnt + np_, M), M)
-            dbv = (meta >> 16) & 4095
             rows = jnp.stack([
                 children[..., 0].reshape(-1),
                 children[..., 1].reshape(-1),
@@ -413,8 +457,8 @@ def run_scheme(
         ch_packed = _pack_state(
             ch_ranges,
             jnp.broadcast_to(ids[:, None], (C, 4)),
-            ch_band, ch_colmin, bw,
-        )                                                     # (C, 4, W)
+            ch_band, ch_colmin, bw, W,
+        )                                                     # (C, 4, words)
 
         # 6) compact 4C -> C: scatter only the source index, then ONE row
         # gather of the packed state.
@@ -430,11 +474,11 @@ def run_scheme(
                                mode="drop")[:C]
         live = src < 4 * C
         srcc = jnp.where(live, src, 0)
-        W = ch_packed.shape[-1]
+        nwords = ch_packed.shape[-1]
         new_state = jnp.where(
             live[:, None],
-            ch_packed.reshape(4 * C, W)[srcc],
-            jnp.zeros((C, W), jnp.uint32),
+            ch_packed.reshape(4 * C, nwords)[srcc],
+            jnp.zeros((C, nwords), jnp.uint32),
         )
         return (new_state, overflow, visits, itv_buf2, itv_cnt2), None
       return step
@@ -452,32 +496,59 @@ def run_scheme(
         out = st_packed[jnp.where(live, src, 0)]
         return jnp.where(live[:, None], out, 0), overflow
 
+    def run_while(stepC, carry, meta_xs, t_lo, t_hi):
+        """Run steps [t_lo, t_hi) with an all-dead early exit.
+
+        The reference's DFS naturally stops when its stack empties; the
+        lockstep analogue is a while_loop that exits once every lane is dead
+        (with switchpoint > 0 most batches drain within a few band steps).
+        """
+        def cond(c):
+            t, st = c[0], c[1]
+            any_alive = jnp.any(st[:, 1] > st[:, 0])
+            return (t < t_hi) & any_alive
+
+        def body(c):
+            t = c[0]
+            meta_row = jax.lax.dynamic_index_in_dim(
+                meta_xs, t, 0, keepdims=False)
+            new_c, _ = stepC(tuple(c[1:]), (meta_row, t))
+            return (t + 1, *new_c)
+
+        out = jax.lax.while_loop(
+            cond, body, (jnp.asarray(t_lo, jnp.int32), *carry))
+        return tuple(out[1:])
+
     if T > 0:
-        meta_xs = (jnp.zeros((T, 1), jnp.int32) if dyn is not None
-                   else tables["meta"])
-        steps_idx = jnp.arange(T, dtype=jnp.int32)
+        meta_xs = (jnp.zeros((T, 1, 3), jnp.int32) if dyn is not None
+                   else tables["mrow"])
+        carry = (state, overflow0, visits0, itv_buf0, itv_cnt0)
         if 0 < split_step < T and 0 < capacity2 < C:
             # stage 1 at full capacity: the switchpoint drains most lanes
-            (state, overflow0, visits0, itv_buf0, itv_cnt0), _ = jax.lax.scan(
-                make_step(C), (state, overflow0, visits0, itv_buf0, itv_cnt0),
-                (meta_xs[:split_step], steps_idx[:split_step]),
-            )
-            state, overflow0 = shrink(state, int(capacity2), overflow0)
-            (state, overflow0, visits0, itv_buf0, itv_cnt0), _ = jax.lax.scan(
-                make_step(int(capacity2)),
-                (state, overflow0, visits0, itv_buf0, itv_cnt0),
-                (meta_xs[split_step:], steps_idx[split_step:]),
-            )
+            carry = run_while(make_step(C), carry, meta_xs, 0, split_step)
+            state, overflow0 = shrink(carry[0], int(capacity2), carry[1])
+            carry = (state, overflow0) + carry[2:]
+            carry = run_while(make_step(int(capacity2)), carry, meta_xs,
+                              split_step, T)
         else:
-            (state, overflow0, visits0, itv_buf0, itv_cnt0), _ = jax.lax.scan(
-                make_step(C), (state, overflow0, visits0, itv_buf0, itv_cnt0),
-                (meta_xs, steps_idx),
-            )
+            carry = run_while(make_step(C), carry, meta_xs, 0, T)
+        state, overflow0, visits0, itv_buf0, itv_cnt0 = carry
 
-    ranges_f, ids_f, band_f, colmin_f = _unpack_state(state, bw)
-    ed_lb = (colmin_f[:, 0].astype(jnp.int32)
-             + colmin_f[:, 1].astype(jnp.int32))
+    ranges_f, ids_f, band_f, colmin_f = _unpack_state(state, bw, W)
     sid_f = ids_f % S
+    # completion bound: each side's LAST window's register (7 = side has no
+    # band windows => its exact-matched extent completes at 0)
+    Cf = ranges_f.shape[0]  # capacity2 when the two-stage shrink ran
+    if dyn is not None:
+        freg = jnp.zeros((Cf, 2), jnp.int32)
+    else:
+        freg = tables["final_reg"][sid_f]                     # (Cf, 2)
+    cm_b_f = jnp.zeros((Cf,), jnp.int8)
+    cm_f_f = jnp.zeros((Cf,), jnp.int8)
+    for w_ in range(W):
+        cm_b_f = jnp.where(freg[:, 0] == w_, colmin_f[:, 0, w_], cm_b_f)
+        cm_f_f = jnp.where(freg[:, 1] == w_, colmin_f[:, 1, w_], cm_f_f)
+    ed_lb = cm_b_f.astype(jnp.int32) + cm_f_f.astype(jnp.int32)
     alive_f = ranges_f[:, 1] > ranges_f[:, 0]
     done = alive_f & (ed_lb <= tables["u_last"][sid_f])
     return FrontierResult(

@@ -41,8 +41,14 @@ the executor (search/executor.py) runs them inside one lax.scan.
 
 Hamming distance is the kb=0 special case (band width 1, no overshoot).
 
-Constraint of the overshoot construction: every part must be longer than
-2*kb (checked here). Holds for all bundled schemes at typical read lengths.
+colMin windows of consecutive extents on one side overlap whenever a part
+is shorter than 2*kb+1 (e.g. k >= 7 at 100 bp: 8+ parts). Each side
+therefore keeps ``W`` rotating colMin registers; windows are assigned to
+registers by interval coloring over their lifetime (first accumulation row
+until the NEXT window completes, since a completed value serves as the
+frozen other-side bound until superseded). Windows whose nominal first row
+precedes the exact-prefix extent fold the missing rows' exact-region DP
+values (|extent - t0|) in at reset via the ``cini`` table.
 """
 
 from __future__ import annotations
@@ -53,7 +59,15 @@ import numpy as np
 
 from columba_tpu.search.scheme import BACKWARD, FORWARD, SearchScheme
 
-INF = 63  # band infinity (int8-safe; > any k and < overflow after +1s)
+INF = 63  # band infinity (int8-safe; band cells saturate here, which only
+          # loosens bounds: every candidate is re-verified in-text anyway)
+MAX_REGS = 10  # colMin registers per side (2 int32 words x 5 6-bit slots)
+
+
+def _pack6(vals) -> int:
+    """Pack up to 5 6-bit fields into one int32-safe int."""
+    assert len(vals) <= 5
+    return int(sum(int(v) << (6 * w) for w, v in enumerate(vals)))
 
 
 @dataclass(frozen=True, eq=False)  # id-hash: usable as a jit static arg
@@ -73,8 +87,16 @@ class Schedule:
     active: np.ndarray       # bool: does search s run at step t
     side: np.ndarray         # 0 back / 1 fwd
     ub: np.ndarray           # U bound after this step
-    colo: np.ndarray         # band cell to accumulate into colMin, or -1
-    creset: np.ndarray       # reset colMin before accumulating
+    cops: np.ndarray         # (S, T, 2) packed per-register colMin ops: 6
+                             # bits per register w (5 per word): (cell 0..30,
+                             # 31=idle) | reset<<5
+    cini: np.ndarray         # (S, T, 2) packed per-register reset-init values
+                             # (6 bits each, 63 = none): exact-region DP folded
+                             # in when a window starts before the band does
+    cacc: np.ndarray         # (S, T) register of the current phase's window
+                             # (15 = none): its fresh value joins the bound
+    cfro: np.ndarray         # (S, T) other side's last COMPLETED window's
+                             # register (15 = none => contributes 0)
     db: np.ndarray           # (S, T) back-side depth after each band step
     db_exact: np.ndarray     # (S,) back depth right after the exact prefix
     # band cell tables (S, t_max, BW)
@@ -85,9 +107,12 @@ class Schedule:
     u_last: np.ndarray
     t_back: np.ndarray       # final back-side text depth (incl. overshoot)
     pivot: np.ndarray
-    colmin_init: np.ndarray  # (S, 2) initial colMin per side
+    colmin_init: np.ndarray  # (S, 2, W) initial colMin registers per side
     band_init: np.ndarray    # (S, 2, BW) initial band rows after exact prefix
     kmer_start: np.ndarray   # (S,) read pos of seed k-mer window, -1 if none
+    final_reg: np.ndarray    # (S, 2) register of the last window per side
+                             # (15 = side has no windows => contributes 0)
+    W: int = 1               # colMin registers per side (max window overlap)
     kmer_k: int = 0          # seed k-mer length (0 = no seeding)
 
     @property
@@ -126,11 +151,13 @@ def compile_schedule(
     pts = uniform_partition(m, p) if partition is None else np.asarray(partition)
     assert len(pts) == p + 1 and pts[0] == 0 and pts[-1] == m
     part_lens = np.diff(pts)
-    if kb > 0 and part_lens.min() <= 2 * kb:
+    if part_lens.min() < 1:
         raise ValueError(
-            f"part length {part_lens.min()} <= 2*k={2*kb}: pattern too short "
-            f"for {p} parts at k={k} (read length {m})"
+            f"empty part: pattern length {m} too short for {p} parts"
         )
+    if 2 * kb > 30:
+        raise ValueError(f"band radius {kb} > 15 exceeds the colMin cell "
+                         "packing (reference MAX_K=13)")
 
     S = len(scheme.searches)
     per_search = []
@@ -150,14 +177,24 @@ def compile_schedule(
 
     e_max = max(len(ps["ex_pos"]) for ps in per_search)
     t_max = max(len(ps["side"]) for ps in per_search)
+    W = max(ps["n_regs"] for ps in per_search)
+    if W > MAX_REGS:
+        raise ValueError(
+            f"colMin window overlap {W} > {MAX_REGS}: parts too short for "
+            f"k={k} (read length {m})"
+        )
 
+    cops_idle = _pack6([31] * 5)
+    cini_idle = _pack6([63] * 5)
     ex_pos = np.full((S, e_max), -1, dtype=np.int32)
     ex_dir = np.zeros((S, e_max), dtype=np.int32)
     active = np.zeros((S, t_max), dtype=bool)
     side = np.zeros((S, t_max), dtype=np.int32)
     ub = np.full((S, t_max), k, dtype=np.int32)
-    colo = np.full((S, t_max), -1, dtype=np.int32)
-    creset = np.zeros((S, t_max), dtype=bool)
+    cops = np.full((S, t_max, 2), cops_idle, dtype=np.int32)
+    cini = np.full((S, t_max, 2), cini_idle, dtype=np.int32)
+    cacc = np.full((S, t_max), 15, dtype=np.int32)
+    cfro = np.full((S, t_max), 15, dtype=np.int32)
     db = np.zeros((S, t_max), dtype=np.int32)
     db_exact = np.zeros(S, dtype=np.int32)
     band_init = np.full((S, 2, bw), INF, dtype=np.int32)
@@ -167,7 +204,8 @@ def compile_schedule(
     u_last = np.zeros(S, dtype=np.int32)
     t_back = np.zeros(S, dtype=np.int32)
     pivot = np.zeros(S, dtype=np.int32)
-    colmin_init = np.zeros((S, 2), dtype=np.int32)
+    colmin_init = np.zeros((S, 2, W), dtype=np.int32)
+    final_reg = np.full((S, 2), 15, dtype=np.int32)
     kmer_start = np.full(S, -1, dtype=np.int32)
 
     for i, ps in enumerate(per_search):
@@ -180,8 +218,10 @@ def compile_schedule(
         active[i, off:] = True
         side[i, off:] = ps["side"]
         ub[i, off:] = ps["ub"]
-        colo[i, off:] = ps["colo"]
-        creset[i, off:] = ps["creset"]
+        cops[i, off:] = ps["cops"]
+        cini[i, off:] = ps["cini"]
+        cacc[i, off:] = ps["cacc"]
+        cfro[i, off:] = ps["cfro"]
         db[i, off:] = ps["db"]
         db[i, :off] = ps["db_exact"]
         db_exact[i] = ps["db_exact"]
@@ -191,16 +231,17 @@ def compile_schedule(
         u_last[i] = ps["u_last"]
         t_back[i] = ps["t_back"]
         pivot[i] = ps["pivot"]
-        colmin_init[i] = ps["colmin_init"]
         band_init[i] = ps["band_init"]
+        final_reg[i] = ps["final_reg"]
 
     return Schedule(
         k=k, kb=kb, m=m, num_searches=S, e_max=e_max, t_max=t_max,
         ex_pos=ex_pos, ex_dir=ex_dir, active=active, side=side, ub=ub,
-        colo=colo, creset=creset, db=db, db_exact=db_exact,
+        cops=cops, cini=cini, cacc=cacc, cfro=cfro, db=db, db_exact=db_exact,
         posw=posw, mvalid=mvalid, cvalid=cvalid,
         u_last=u_last, t_back=t_back, pivot=pivot, colmin_init=colmin_init,
-        band_init=band_init, kmer_start=kmer_start, kmer_k=kmer_k,
+        band_init=band_init, kmer_start=kmer_start, final_reg=final_reg,
+        W=W, kmer_k=kmer_k,
     )
 
 
@@ -239,21 +280,14 @@ def _compile_one(search, pts, kb):
     exact_extent = (b_prev, f_prev)
 
     # ---- band phases ----
-    side_l, ubv, colo, creset, db_rows = [], [], [], [], []
+    side_l, ubv, db_rows, row_depth, row_phase = [], [], [], [], []
     posw, mvalid, cvalid = [], [], []
 
-    def emit_row(sd, t_new, u, extent_target, window_start):
-        """One band row at depth t_new on side sd, phase extent target."""
+    def emit_row(sd, t_new, u):
+        """One band row at depth t_new on side sd."""
         side_l.append(sd)
         ubv.append(u)
-        in_window = t_new >= extent_target - kb
-        o_acc = extent_target - t_new + kb  # cell with j == extent_target
-        if in_window and 0 <= o_acc < 2 * kb + 1:
-            colo.append(o_acc)
-            creset.append(t_new == max(window_start, extent_target - kb))
-        else:
-            colo.append(-1)
-            creset.append(False)
+        row_depth.append(t_new)
         row_pos = np.zeros(2 * kb + 1, dtype=np.int32)
         row_mv = np.zeros(2 * kb + 1, dtype=bool)
         row_cv = np.zeros(2 * kb + 1, dtype=bool)
@@ -268,22 +302,80 @@ def _compile_one(search, pts, kb):
         mvalid.append(row_mv)
         cvalid.append(row_cv)
 
+    windows = {0: [], 1: []}  # per side, in phase order
     for i in range(n_exact, p):
         sd = 0 if dirs[i] == BACKWARD else 1
         be, fe = extents[i]
         target = be if sd == 0 else fe
         goal = min(target + kb, side_len[sd] + kb)
-        window_start = depth[sd] + 1
+        windows[sd].append(dict(extent=target, phase=i))
         while depth[sd] < goal:
             depth[sd] += 1
-            emit_row(sd, depth[sd], search.upper[i], target, window_start)
+            emit_row(sd, depth[sd], search.upper[i])
+            row_phase.append(i)
             db_rows.append(depth[0])
 
-    # After the exact prefix each side's current extent is matched exactly,
-    # so its completion minimum at that extent is 0. A side's first band
-    # window resets and re-accumulates before the value is ever needed at a
-    # larger extent; meanwhile the stale 0 only loosens pruning (safe).
-    colmin_init = np.zeros(2, dtype=np.int32)
+    # ---- colMin windows -> rotating registers ----
+    # Window n (side sd, extent E): accumulates cell j == E over emitted
+    # rows at depths [max(E-kb, t0+1), E+kb]; rows at depths <= t0 lie in
+    # the exact-matched region where D[t][E] = E - t (folded in at reset
+    # via cini). Its value must survive as the side's frozen completion
+    # bound until the NEXT window on that side completes, so its register
+    # lifetime is [first row, next window's last row].
+    T_s = len(side_l)
+    rowidx = {(sd, t): gi
+              for gi, (sd, t) in enumerate(zip(side_l, row_depth))}
+    for sd in (0, 1):
+        ws = windows[sd]
+        for n, w in enumerate(ws):
+            E = w["extent"]
+            t0 = exact_extent[sd]
+            w["first_d"] = max(E - kb, t0 + 1)
+            w["first"] = rowidx[(sd, w["first_d"])]
+            w["last"] = rowidx[(sd, E + kb)]
+            w["init"] = (E - t0) if (E - kb) <= t0 else None
+        busy = []  # (register, lifetime end in global rows)
+        for n, w in enumerate(ws):
+            life_end = ws[n + 1]["last"] if n + 1 < len(ws) else T_s
+            used = {r for r, until in busy if until >= w["first"]}
+            r = 0
+            while r in used:
+                r += 1
+            w["reg"] = r
+            busy.append((r, life_end))
+    n_regs = max([w["reg"] for sd in (0, 1) for w in windows[sd]],
+                 default=0) + 1
+
+    cops = np.full((T_s, 2), _pack6([31] * 5), dtype=np.int32)
+    cini = np.full((T_s, 2), _pack6([63] * 5), dtype=np.int32)
+    cacc = np.full(T_s, 15, dtype=np.int32)
+    cfro = np.full(T_s, 15, dtype=np.int32)
+
+    def set_slot(tab, gi, r, val):
+        wd, sh = r // 5, 6 * (r % 5)
+        tab[gi, wd] = np.int32((int(tab[gi, wd]) & ~(63 << sh)) | (val << sh))
+
+    win_of_phase = {w["phase"]: w for sd in (0, 1) for w in windows[sd]}
+    for sd in (0, 1):
+        for w in windows[sd]:
+            E, r = w["extent"], w["reg"]
+            for d in range(w["first_d"], E + kb + 1):
+                gi = rowidx[(sd, d)]
+                set_slot(cops, gi, r,
+                         (E - d + kb) | ((d == w["first_d"]) << 5))
+                if d == w["first_d"] and w["init"] is not None:
+                    set_slot(cini, gi, r, min(w["init"], 62))
+    for gi in range(T_s):
+        sd, i = side_l[gi], row_phase[gi]
+        w = win_of_phase[i]
+        if row_depth[gi] >= w["first_d"]:
+            cacc[gi] = w["reg"]
+        completed = [v for v in windows[1 - sd] if v["last"] < gi]
+        if completed:
+            cfro[gi] = completed[-1]["reg"]
+    final_reg = np.array(
+        [windows[0][-1]["reg"] if windows[0] else 15,
+         windows[1][-1]["reg"] if windows[1] else 15], dtype=np.int32)
 
     # Initial band row per side at depth t0 (= exact extent): the exact DP
     # values D[t0][j] = |j - t0| for valid j (the first t0 text chars equal
@@ -306,14 +398,17 @@ def _compile_one(search, pts, kb):
         ub=np.array(ubv, dtype=np.int32),
         db=np.array(db_rows, dtype=np.int32),
         db_exact=b_prev,
-        colo=np.array(colo, dtype=np.int32),
-        creset=np.array(creset, dtype=bool),
+        cops=cops,
+        cini=cini,
+        cacc=cacc,
+        cfro=cfro,
+        n_regs=n_regs,
+        final_reg=final_reg,
         posw=np.array(posw, dtype=np.int32).reshape(-1, 2 * kb + 1),
         mvalid=np.array(mvalid, dtype=bool).reshape(-1, 2 * kb + 1),
         cvalid=np.array(cvalid, dtype=bool).reshape(-1, 2 * kb + 1),
         u_last=search.upper[-1],
         t_back=depth[0],
         pivot=piv,
-        colmin_init=colmin_init,
         band_init=band_init,
     )

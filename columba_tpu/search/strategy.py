@@ -43,8 +43,11 @@ _PARTS_PER_K = {
 
 def max_supported_k(scheme_name: str, m: int, metric: str = "edit") -> int:
     """Largest k whose schedule compiles for reads of length m: the family
-    must define schemes for k AND every part must exceed 2k (the band
-    overshoot constraint, search/schedule.py)."""
+    must define schemes for k and parts must be non-empty with the colMin
+    register budget (schedule.MAX_REGS) respected; short parts use rotating
+    registers (search/schedule.py), so the old part > 2k limit is gone."""
+    from columba_tpu.search.schedule import MAX_REGS
+
     family_max = {"kuch1": 4, "kuch2": 4, "pigeon": 12, "kianfar": 4,
                   "01*0": 4, "minU": 7, "columba": 13, "naive": 13}
     parts = _PARTS_PER_K.get(scheme_name, lambda k: k + 1)
@@ -52,8 +55,14 @@ def max_supported_k(scheme_name: str, m: int, metric: str = "edit") -> int:
     for k in range(1, family_max.get(scheme_name, 4) + 1):
         p = parts(k)
         min_part = m // p
-        if metric == "edit" and min_part <= 2 * k:
+        if min_part < 1:
             break
+        if metric == "edit":
+            # window length 2k+1 rows + lifetime ~ one part; worst-case
+            # simultaneous registers ~ ceil((2k+1+min_part)/min_part)
+            regs = -(-(2 * k + 1 + min_part) // min_part)
+            if regs > MAX_REGS:
+                break
         best = k
     return best
 

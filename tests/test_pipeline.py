@@ -303,3 +303,43 @@ def test_in_text_crossover_equivalence(fm, rng, partitioning):
     key = lambda os: {(o.read_id, o.strand, o.end, o.distance) for o in os}
     assert stats["overflow"] == 0
     assert key(base) == key(itv)
+
+
+@pytest.mark.parametrize("name,k,m", [
+    ("kuch1", 4, 40),    # parts of 8 = 2k: windows overlap, W=2
+    ("minU", 7, 100),    # parts ~12 < 2k+1=15 (the reference's k=7 default)
+    ("greedy", 9, 100),  # greedy high-k scheme at short-part regime
+    ("greedy", 13, 150), # reference MAX_K
+])
+def test_edit_all_short_parts_vs_brute(fm, rng, name, k, m):
+    """Schemes whose parts are shorter than 2k+1 (multi-register colMin
+    windows) must stay lossless and sound."""
+    from columba_tpu.search.scheme import load_scheme_folder
+    import os as _os
+
+    genome, index = fm
+    if name == "greedy":
+        scheme = load_scheme_folder(
+            _os.path.join(_os.path.dirname(_os.path.dirname(
+                _os.path.abspath(__file__))), "columba_tpu", "..", "schemes",
+                "columba_greedy"), k)
+    else:
+        scheme = get_scheme(name, k)
+    sd = pipeline.compile_cached(scheme, m, "edit")
+    assert sd.W > 1
+    reads = sample_reads(rng, genome, num=6, length=m, max_err=k, edits=True)
+    occs, stats = pipeline.match_all(
+        index, reads, scheme, metric="edit", redundancy_filter=False,
+        capacity=1 << 16, max_locate=1 << 16,
+    )
+    assert stats["overflow"] == 0
+    got = {(o.read_id, o.strand, o.end, o.distance) for o in occs}
+    expect = set()
+    for i, r in enumerate(reads):
+        for strand, rr in ((0, r), (1, alphabet.revcomp(r))):
+            for e, d in brute_edit_ends(genome, rr, k):
+                expect.add((i, strand, e, d))
+    missing = expect - got
+    spurious = got - expect
+    assert not missing, f"lost occurrences: {sorted(missing)[:10]}"
+    assert not spurious, f"spurious occurrences: {sorted(spurious)[:10]}"

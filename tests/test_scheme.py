@@ -90,10 +90,12 @@ def test_schedule_exact_prefix_positions():
     assert sd.pivot[1] == 10
 
 
-def test_part_too_short_raises():
+def test_short_parts_use_multiple_colmin_registers():
     sch = get_scheme("pigeon", 4)  # 5 parts
-    with pytest.raises(ValueError):
-        schedule.compile_schedule(sch, 40, metric="edit")  # parts of 8 = 2k
+    sd = schedule.compile_schedule(sch, 40, metric="edit")  # parts of 8 = 2k
+    assert sd.W > 1  # overlapping windows -> rotating registers
+    with pytest.raises(ValueError):  # empty parts still raise
+        schedule.compile_schedule(sch, 4, metric="edit")
 
 
 def test_static_partitioning_files():
