@@ -86,8 +86,8 @@ def measure_tpu(arrays, reads) -> float:
     t_back = jnp.asarray(sched.t_back)
     pivot = jnp.asarray(sched.pivot)
     capacity = 4 * BATCH  # 2*BATCH rows x 3 searches x ~2/3 exact-prefix survival
-    max_locate = 1 << 17
-    max_verify = 1 << 14
+    max_locate = 1 << 15
+    max_verify = 12288
     switchpoint = 4       # in-text crossover (reference default)
     split_step, capacity2 = 2, max(1024, capacity // 16)
 
