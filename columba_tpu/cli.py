@@ -28,6 +28,8 @@ def main(argv=None):
     b.add_argument("--seed", type=int, default=42,
                    help="RNG seed for non-ACGT replacement")
     b.add_argument("--write-preprocessed", action="store_true")
+    b.add_argument("--rlc", action="store_true",
+                   help="build the run-length-compressed (b-move) flavor")
 
     a = sub.add_parser("align", help="map reads against an index")
     a.add_argument("-r", "--index", required=True)
@@ -73,16 +75,24 @@ def main(argv=None):
 
 
 def cmd_build(args):
-    from columba_tpu.index.build import build_index
-
     t0 = time.time()
-    arrays = build_index(
-        args.fasta, out_dir=args.index, sa_sparseness=args.sa_sparseness,
-        seed=args.seed, write_preprocessed_fasta=args.write_preprocessed,
-    )
+    if args.rlc:
+        from columba_tpu.index.bmove import build_bmove
+
+        arrays = build_bmove(args.fasta, out_dir=args.index, seed=args.seed)
+        extra = (f" runs={arrays.meta['runs_fwd']}"
+                 f" (r/n={arrays.meta['runs_fwd']/max(arrays.n,1):.3f})")
+    else:
+        from columba_tpu.index.build import build_index
+
+        arrays = build_index(
+            args.fasta, out_dir=args.index, sa_sparseness=args.sa_sparseness,
+            seed=args.seed, write_preprocessed_fasta=args.write_preprocessed,
+        )
+        extra = ""
     print(
-        f"[columba_tpu build] n={arrays.n} seqs={len(arrays.seq_names)} "
-        f"in {time.time()-t0:.1f}s -> {args.index}",
+        f"[columba_tpu build] n={arrays.n} seqs={len(arrays.seq_names)}"
+        f"{extra} in {time.time()-t0:.1f}s -> {args.index}",
         file=sys.stderr,
     )
     return 0
@@ -98,10 +108,26 @@ def cmd_align(args):
         MappingConfig, emit_sam, map_batch_all, map_batch_best,
     )
 
-    arrays = load_index(args.index)
-    index = FMIndex.from_arrays(arrays)
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(args.index, "meta.json")) as _f:
+        _flavor = _json.load(_f).get("flavor", "vanilla")
+    rlc = _flavor == "rlc"
+    if rlc:
+        from columba_tpu.index.bmove import BMoveIndex, load_bmove
+
+        arrays = load_bmove(args.index)
+        index = BMoveIndex.from_arrays(arrays)
+        if args.partitioning == "dynamic":
+            print("[columba_tpu] RLC: dynamic partitioning unavailable, "
+                  "using uniform", file=sys.stderr)
+            args.partitioning = "uniform"
+    else:
+        arrays = load_index(args.index)
+        index = FMIndex.from_arrays(arrays)
     kmer_table = None
-    if not args.no_kmer_table:
+    if not args.no_kmer_table and not rlc:
         from columba_tpu.index.kmer import build_kmer_table
 
         kmer_table = build_kmer_table(index)

@@ -38,13 +38,17 @@ def _occ_dir(index: FMIndex, pos: jax.Array, dirs: jax.Array):
     return raw, d
 
 
-def extend_all(index: FMIndex, ranges: jax.Array, dirs: jax.Array) -> jax.Array:
+def extend_all(index, ranges: jax.Array, dirs: jax.Array) -> jax.Array:
     """Extend every node by all 4 characters.
 
     ranges: (..., 4) int32 [f_lo, f_hi, r_lo, r_hi); dirs: (...,) int32.
     Returns (..., 4, 4): child range for chars A,C,G,T. Empty children have
-    hi <= lo.
+    hi <= lo. RLC indexes use 8-wide ranges with run hints (ops/bextend).
     """
+    if not isinstance(index, FMIndex):
+        from columba_tpu.ops import bextend
+
+        return bextend.extend_all(index, ranges, dirs)
     f_lo, f_hi, r_lo, r_hi = (ranges[..., i] for i in range(4))
     bwd = dirs == 0
     a_lo = jnp.where(bwd, f_lo, r_lo)
@@ -73,13 +77,17 @@ def extend_all(index: FMIndex, ranges: jax.Array, dirs: jax.Array) -> jax.Array:
 
 
 def extend_char(
-    index: FMIndex, ranges: jax.Array, chars: jax.Array, dirs: jax.Array
+    index, ranges: jax.Array, chars: jax.Array, dirs: jax.Array
 ) -> jax.Array:
     """Extend every node by its own single character (exact matching step).
 
     chars: (...,) int32 in 0..3; char 4 (N) yields an empty range.
     Returns (..., 4) child ranges.
     """
+    if not isinstance(index, FMIndex):
+        from columba_tpu.ops import bextend
+
+        return bextend.extend_char(index, ranges, chars, dirs)
     all4 = extend_all(index, ranges, dirs)  # (..., 4, 4)
     safe = jnp.clip(chars, 0, 3).astype(jnp.int32)
     child = jnp.take_along_axis(
@@ -91,7 +99,7 @@ def extend_char(
 
 
 def exact_match(
-    index: FMIndex,
+    index,
     patterns: jax.Array,
     lengths: jax.Array | None = None,
 ) -> jax.Array:

@@ -28,8 +28,12 @@ def lf_step(index: FMIndex, rows: jax.Array) -> jax.Array:
     return jnp.where(rows == index.dollar[0], 0, lf)
 
 
-def locate_rows(index: FMIndex, rows: jax.Array) -> jax.Array:
+def locate_rows(index, rows: jax.Array) -> jax.Array:
     """Text position SA[row] for each lane (int32)."""
+    if not isinstance(index, FMIndex):
+        from columba_tpu.ops import blocate
+
+        return blocate.locate_rows(index, rows)
     f = index.sa_sparseness
     steps = jnp.zeros_like(rows)
     cur = rows

@@ -130,6 +130,7 @@ def _pack_state(ranges, ids, band, colmin, bw, W):
     per-step compaction a single row gather.
     """
     lead = ranges.shape[:-1]
+    rw = ranges.shape[-1]
     nb = 2 * bw + 2 * W
     nw = (nb + 3) // 4
     by = jnp.concatenate(
@@ -148,13 +149,13 @@ def _pack_state(ranges, ids, band, colmin, bw, W):
     )
 
 
-def _unpack_state(packed, bw, W):
+def _unpack_state(packed, bw, W, rw=4):
     lead = packed.shape[:-1]
-    ranges = packed[..., :4].astype(jnp.int32)
-    ids = packed[..., 4].astype(jnp.int32)
+    ranges = packed[..., :rw].astype(jnp.int32)
+    ids = packed[..., rw].astype(jnp.int32)
     nb = 2 * bw + 2 * W
     nw = (nb + 3) // 4
-    words = packed[..., 5:5 + nw]                         # (..., nw) uint32
+    words = packed[..., rw + 1:rw + 1 + nw]               # (..., nw) uint32
     shifts = (8 * jnp.arange(4, dtype=jnp.uint32))
     by = ((words[..., None] >> shifts) & jnp.uint32(0xFF)).astype(jnp.int8)
     by = by.reshape(*lead, nw * 4)[..., :nb]
@@ -201,6 +202,12 @@ def run_scheme(
         T = dyn["meta"].shape[1]
         E = dyn["ex_pos"].shape[1]
         W = 1
+
+    rw = index.range_width if hasattr(index, "range_width") else 4
+    if rw != 4 and kmer_table is not None:
+        raise NotImplementedError(
+            "k-mer seed table is 4-wide (no run hints); pass kmer_table=None "
+            "for the RLC back-end")
 
     # ---------------- exact prefix ----------------
     rid0, sid0 = jnp.meshgrid(
@@ -324,7 +331,7 @@ def run_scheme(
       def step(carry, xs):
         meta_row, t_idx = xs                      # (S, 5) packed scalars
         st, overflow, visits, itv_buf, itv_cnt = carry
-        ranges, ids, band, colmin = _unpack_state(st, bw, W)
+        ranges, ids, band, colmin = _unpack_state(st, bw, W, rw)
         sid = ids % S
         alive = ranges[:, 1] > ranges[:, 0]
         if dyn is not None:
@@ -534,7 +541,7 @@ def run_scheme(
             carry = run_while(make_step(C), carry, meta_xs, 0, T)
         state, overflow0, visits0, itv_buf0, itv_cnt0 = carry
 
-    ranges_f, ids_f, band_f, colmin_f = _unpack_state(state, bw, W)
+    ranges_f, ids_f, band_f, colmin_f = _unpack_state(state, bw, W, rw)
     sid_f = ids_f % S
     # completion bound: each side's LAST window's register (7 = side has no
     # band windows => its exact-matched extent completes at 0)

@@ -1,0 +1,132 @@
+"""b-move (RLC) back-end conformance vs the Vanilla FM-index.
+
+The reference's own methodology is output comparison across flavors
+(SURVEY.md #4, DEVELOPER_MODE); here the two back-ends must agree on every
+extension step and every locate, and the full pipeline must produce the
+identical occurrence set on the same genome.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from columba_tpu.core import alphabet
+from columba_tpu.index.bmove import BMoveIndex, build_bmove_from_codes
+from columba_tpu.index.fmindex import FMIndex
+from columba_tpu.ops import bextend, blocate, extend, locate
+
+from tests.conftest import make_genome, sample_reads
+
+
+@pytest.fixture(scope="module")
+def pair(small_index):
+    genome, arrays = small_index
+    fm = FMIndex.from_arrays(arrays)
+    bm = BMoveIndex.from_arrays(build_bmove_from_codes(genome))
+    return genome, fm, bm
+
+
+def test_build_invariants(pair):
+    genome, fm, bm = pair
+    big = len(genome) + 1
+    fused = np.asarray(bm.fused)
+    for off, r in ((0, bm.r_fwd), (bm.r_fwd + 1, bm.r_rev)):
+        tab = fused[off:off + r]
+        assert tab[0, 0] == 0
+        np.testing.assert_array_equal(tab[1:, 0], tab[:-1, 1])  # contiguous
+        assert tab[-1, 1] == big
+        assert fused[off + r, 0] == big  # sentinel
+        # LF destination run contains LF position
+        lf_pos, lf_run = tab[:, 2], tab[:, 3]
+        assert np.all(fused[off + lf_run, 0] <= lf_pos)
+        assert np.all(lf_pos < fused[off + lf_run, 1])
+
+
+def test_extension_parity_random_walk(pair, rng):
+    """Extend both back-ends in lockstep through random char sequences with
+    random direction flips; SA ranges must match exactly and run hints must
+    stay valid."""
+    genome, fm, bm = pair
+    B = 64
+    rf = fm.full_range((B,))
+    rb = bm.full_range((B,))
+    fused = np.asarray(bm.fused)
+
+    for step in range(24):
+        dirs = jnp.asarray(rng.integers(0, 2, B).astype(np.int32))
+        cf = extend.extend_all(fm, rf, dirs)       # (B, 4, 4)
+        cb = bextend.extend_all(bm, rb, dirs)      # (B, 4, 8)
+        live = np.asarray(cf[..., 1] > cf[..., 0])
+        np.testing.assert_array_equal(
+            np.asarray(cb[..., :4]) * live[..., None],
+            np.asarray(cf) * live[..., None],
+            err_msg=f"step {step}")
+        # hint validity on live children
+        arr = np.asarray(cb)
+        for (lo_c, run_c, off) in ((0, 4, 0), (2, 6, bm.r_fwd + 1)):
+            lo = arr[..., lo_c][live]
+            hi1 = arr[..., lo_c + 1][live] - 1
+            rlo = arr[..., run_c][live] + off
+            rhi = arr[..., run_c + 1][live] + off
+            assert np.all((fused[rlo, 0] <= lo) & (lo < fused[rlo, 1]))
+            assert np.all((fused[rhi, 0] <= hi1) & (hi1 < fused[rhi, 1]))
+        # pick one random live child per lane to continue (or reset)
+        pick = rng.integers(0, 4, B)
+        lanes = np.arange(B)
+        ok = live[lanes, pick]
+        nf = np.asarray(cf)[lanes, pick]
+        nb = np.asarray(cb)[lanes, pick]
+        rf = jnp.asarray(np.where(ok[:, None], nf, np.asarray(fm.full_range((B,)))))
+        rb = jnp.asarray(np.where(ok[:, None], nb, np.asarray(bm.full_range((B,)))))
+
+
+def test_locate_parity(pair, rng):
+    genome, fm, bm = pair
+    rows = jnp.asarray(rng.integers(0, len(genome) + 1, 256).astype(np.int32))
+    pf = np.asarray(locate.locate_rows(fm, rows))
+    pb = np.asarray(blocate.locate_rows(bm, rows))
+    np.testing.assert_array_equal(pb, pf)
+
+
+def test_exact_match_parity(pair, rng):
+    genome, fm, bm = pair
+    pats = np.stack([genome[p:p + 24] for p in
+                     rng.integers(0, len(genome) - 24, 32)]).astype(np.int32)
+    ef = np.asarray(extend.exact_match(fm, jnp.asarray(pats)))
+    eb = np.asarray(extend.exact_match(bm, jnp.asarray(pats)))
+    np.testing.assert_array_equal(eb[:, :4], ef)
+
+
+@pytest.mark.parametrize("metric,switchpoint", [
+    ("edit", 0), ("edit", 4), ("hamming", 0),
+])
+def test_pipeline_parity_rlc_vs_vanilla(pair, rng, metric, switchpoint):
+    """Full ALL-mode pipeline on the RLC back-end reports the identical
+    occurrence set as the Vanilla back-end (the reference's cross-flavor
+    conformance discipline)."""
+    from columba_tpu.search import pipeline
+    from columba_tpu.search.scheme import get_scheme
+
+    genome, fm, bm = pair
+    k = 2
+    reads = sample_reads(rng, genome, num=10, length=80, max_err=k,
+                         edits=(metric == "edit"))
+    kw = dict(metric=metric, redundancy_filter=False, switchpoint=switchpoint)
+    o_fm, s_fm = pipeline.match_all(fm, reads, get_scheme("kuch1", k), **kw)
+    o_bm, s_bm = pipeline.match_all(bm, reads, get_scheme("kuch1", k), **kw)
+    assert s_bm["overflow"] == 0
+    key = lambda os: {(o.read_id, o.strand, o.end, o.distance) for o in os}
+    assert key(o_bm) == key(o_fm)
+
+
+def test_exact_mode_rlc(pair, rng):
+    from columba_tpu.search import pipeline
+    from columba_tpu.search.scheme import get_scheme
+
+    genome, fm, bm = pair
+    reads = sample_reads(rng, genome, num=16, length=50, max_err=0)
+    o_fm, _ = pipeline.match_all(fm, reads, get_scheme("kuch1", 0))
+    o_bm, _ = pipeline.match_all(bm, reads, get_scheme("kuch1", 0))
+    key = lambda os: {(o.read_id, o.strand, o.begin) for o in os}
+    assert key(o_bm) == key(o_fm)
