@@ -45,9 +45,10 @@ def traceback(pattern: np.ndarray, window: np.ndarray, end_col: int,
 
     pattern: (m,) codes; window: (W,) text codes; end_col: alignment end
     (exclusive) within window. Returns (begin_col, cigar, ed).
-    Transition preference on ties mirrors a deterministic diag > up > left
-    order (parity with the reference's findCIGAR refined in later rounds;
-    reference: src/bitparallelmatrix.h:450-526).
+    Tie preference walking backward from the end is insertion > diagonal >
+    deletion, exactly mirroring the reference's traceback (HP bit first,
+    then match-or-diag-delta-one, then vertical gap;
+    reference: src/bitparallelmatrix.h:531-586 and findCIGAR :450-526).
     """
     m = len(pattern)
     if kb == 0:
@@ -61,45 +62,29 @@ def traceback(pattern: np.ndarray, window: np.ndarray, end_col: int,
     D = np.zeros((m + 1, t + 1), dtype=np.int32)
     D[:, 0] = np.arange(m + 1)
     D[0, :] = 0  # free start
-    # S[j][c]: max start col among cost-optimal alignments into cell (j, c).
-    # The reference's redundancy filter keeps the occurrence with the
-    # smallest text span among equal-distance candidates (it pops the wider
-    # previous one, src/indexinterface.cpp:1470-1480), i.e. the LARGEST
-    # begin — so ties must resolve toward the latest start.
-    S = np.zeros((m + 1, t + 1), dtype=np.int32)
-    S[0, :] = np.arange(t + 1)
-    S[:, 0] = 0
     for j in range(1, m + 1):
         mis = ((text != pattern[j - 1]) | (pattern[j - 1] > 3) | (text > 3)).astype(np.int32)
-        for c in range(1, t + 1):
-            best = D[j - 1, c - 1] + mis[c - 1]
-            s = S[j - 1, c - 1]
-            v = D[j - 1, c] + 1
-            if v < best or (v == best and S[j - 1, c] > s):
-                best, s = v, S[j - 1, c]
-            v = D[j, c - 1] + 1
-            if v < best or (v == best and S[j, c - 1] > s):
-                best, s = v, S[j, c - 1]
-            D[j, c], S[j, c] = best, s
+        diag = D[j - 1, :-1] + mis
+        up = D[j - 1, 1:] + 1
+        best = np.minimum(diag, up)
+        run = best - np.arange(1, t + 1)
+        np.minimum.accumulate(run, out=run)
+        D[j, 1:] = np.minimum(best, run + np.arange(1, t + 1))
+        D[j, 1:] = np.minimum(D[j, 1:], D[j, 0] + np.arange(1, t + 1))
     ed = int(D[m, t])
-    # traceback from (m, t) along max-start optimal path
+    # greedy backward walk, insertion-first (reference tie order)
     j, c = m, t
     ops: list[str] = []
     while j > 0:
-        cand = []
-        if c > 0:
-            pc, tc = pattern[j - 1], text[c - 1]
-            mis = 0 if (pc == tc and pc <= 3) else 1
-            if D[j - 1, c - 1] + mis == D[j, c]:
-                cand.append((S[j - 1, c - 1], 0, "M", j - 1, c - 1))
         if D[j - 1, c] + 1 == D[j, c]:
-            cand.append((S[j - 1, c], 1, "I", j - 1, c))
-        if c > 0 and D[j, c - 1] + 1 == D[j, c]:
-            cand.append((S[j, c - 1], 2, "D", j, c - 1))
-        if not cand:
-            break
-        cand = [x for x in cand if x[0] == S[j, c]] or cand
-        _, _, op, j, c = min(cand, key=lambda x: (-x[0], x[1]))
+            op, j = "I", j - 1
+        elif c > 0 and D[j - 1, c - 1] + (
+                0 if (pattern[j - 1] == text[c - 1] and pattern[j - 1] <= 3)
+                else 1) == D[j, c]:
+            op, j, c = "M", j - 1, c - 1
+        else:
+            assert c > 0 and D[j, c - 1] + 1 == D[j, c]
+            op, c = "D", c - 1
         ops.append(op)
     begin = lo + c
     ops.reverse()

@@ -185,6 +185,35 @@ def map_batch_best(
     return out
 
 
+def _final_redundancy_filter(finalized, max_ed):
+    """The reference's non-redundancy pass on traceback-refined begins
+    (reference: src/indexinterface.cpp:1451-1485): occurrences sorted by
+    (begin, distance, text width); same begin -> keep the first; begins
+    within 2*maxED -> keep the strictly better one (smaller distance, then
+    strictly smaller width). finalized entries: (..., ed at [4], begin at
+    [7]); per-strand groups are filtered independently."""
+    out = []
+    for strand in (0, 1):
+        group = [f for f in finalized if f[0].strand == strand]
+        group.sort(key=lambda f: (f[7], f[4], f[0].end - f[7]))
+        kept = []
+        prev_begin = prev_ed = prev_w = None
+        for f in group:
+            begin, ed, width = f[7], f[4], f[0].end - f[7]
+            if kept:
+                diff = abs(begin - prev_begin)
+                if diff == 0:
+                    continue
+                if diff <= 2 * max_ed:
+                    if ed > prev_ed or (ed == prev_ed and width >= prev_w):
+                        continue
+                    kept.pop()
+            prev_begin, prev_ed, prev_w = begin, ed, width
+            kept.append(f)
+        out.extend(kept)
+    return out
+
+
 def emit_sam(
     records,
     mapped: list[MappedRead],
@@ -207,7 +236,6 @@ def emit_sam(
                 lines.append(sam.unmapped_record(rec.name, rec.codes, rec.qual))
             continue
         occs = sorted(mr.occs, key=lambda o: (o.distance, o.begin, o.strand))
-        mq = sam.mapq(mr.n_best)
         finalized = []
         for o in occs:
             seq_codes = rec.codes if o.strand == 0 else alphabet.revcomp(rec.codes)
@@ -222,7 +250,15 @@ def emit_sam(
             sidx = int(np.searchsorted(starts, begin, side="right") - 1)
             sidx = max(0, min(sidx, len(arrays.seq_names) - 1))
             pos1 = begin - int(starts[sidx]) + 1
-            finalized.append((o, seq_codes, qual, cigar, ed, sidx, pos1))
+            finalized.append((o, seq_codes, qual, cigar, ed, sidx, pos1,
+                              begin))
+        finalized = _final_redundancy_filter(finalized, kb)
+        # primary = best distance, earliest begin
+        finalized.sort(key=lambda f: (f[4], f[7], f[0].strand))
+        finalized = [f[:7] for f in finalized]
+        best_ed = min((f[4] for f in finalized), default=0)
+        n_best = sum(1 for f in finalized if f[4] == best_ed)
+        mq = sam.mapq(max(n_best, 1))
         if xa_tag:
             o, seq_codes, qual, cigar, ed, sidx, pos1 = finalized[0]
             flag = 16 if o.strand else 0

@@ -5,6 +5,7 @@ SAM outputs at configurable strictness:
 
   level "positions": per read, the SET of (strand, pos, NM) must match.
   level "best":      per read, best distance and its position set must match.
+  level "cigar":     positions plus CIGAR string and MAPQ must match.
 
 Usage:
   python tools/parity.py --mode all -e 2 --metric edit [--reads 500]
@@ -66,7 +67,7 @@ def make_workload(wd, n=200_000, reads=300, m=100, maxerr=2, seed=1,
     return fa, fq
 
 
-def parse_sam(path):
+def parse_sam(path, with_cigar=False):
     per_read = defaultdict(set)
     for line in open(path):
         if line.startswith("@"):
@@ -77,7 +78,10 @@ def parse_sam(path):
             per_read[name]  # ensure key exists
             continue
         nm = next((int(x[5:]) for x in f[11:] if x.startswith("NM:i:")), -1)
-        per_read[name].add((flag & 16, int(f[3]), nm))
+        if with_cigar:
+            per_read[name].add((flag & 16, int(f[3]), nm, f[5], int(f[4])))
+        else:
+            per_read[name].add((flag & 16, int(f[3]), nm))
     return per_read
 
 
@@ -111,8 +115,8 @@ def run_ours(wd, fa, fq, args):
 
 
 def compare(ref_sam, our_sam, level="positions"):
-    ref = parse_sam(ref_sam)
-    ours = parse_sam(our_sam)
+    ref = parse_sam(ref_sam, with_cigar=(level == "cigar"))
+    ours = parse_sam(our_sam, with_cigar=(level == "cigar"))
     names = sorted(set(ref) | set(ours))
     mismatches = []
     for name in names:
@@ -140,7 +144,7 @@ def main(argv=None):
     p.add_argument("--genome", type=int, default=200_000)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--edits", action="store_true")
-    p.add_argument("--level", default="positions", choices=["positions", "best"])
+    p.add_argument("--level", default="positions", choices=["positions", "best", "cigar"])
     p.add_argument("--wd", default="/tmp/parity")
     args = p.parse_args(argv)
 
