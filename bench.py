@@ -113,14 +113,20 @@ def measure_tpu(arrays, reads) -> float:
     n_done = 0
     overflow = 0
     total_cands = 0
+    # Dispatch pipelined (tunnel RTT overlaps device compute, as a real
+    # serving loop would), but block on the LAST batch's FULL output dict:
+    # device execution is FIFO, so that bounds all batches. Blocking on
+    # scalar outputs alone returns early on the remote-TPU path and has
+    # produced 10x-spurious timings.
     t0 = time.time()
     outs = []
+    last = None
     for off in range(BATCH, len(reads) - BATCH + 1, BATCH):
         rows = batch_rows(reads[off:off + BATCH])
-        out = step(index, rows, kmer_table)
-        outs.append((out["overflow"], out["total"], out["n_unique"]))
+        last = step(index, rows, kmer_table)
+        outs.append((last["overflow"], last["total"], last["n_unique"]))
         n_done += BATCH
-    jax.block_until_ready(outs)
+    jax.block_until_ready(last)
     dt = time.time() - t0
     overflow = sum(int(o) for o, _, _ in outs)
     total_cands = sum(int(t) for _, t, _ in outs)

@@ -268,6 +268,9 @@ def build_tables(st: SchemeStatic, pts: jax.Array, reads: jax.Array) -> dict:
         pchars=pchars.reshape(R * S * T, bw),
         ex_pos=ex_pos.reshape(R * S, E),
         ex_dir=ex_dir.reshape(R * S, E),
+        db_ex_steps=jnp.cumsum(
+            (e_act & (eside == 0)).astype(jnp.int32), axis=2
+        ).reshape(R * S, E),
         band_init=binit.reshape(R * S, 2, bw),
         colmin_init=jnp.zeros((R * S, 2), jnp.int8),
         t_back=t_back.reshape(R * S),

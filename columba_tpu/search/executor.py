@@ -176,6 +176,7 @@ def run_scheme(
     itv_cap: int = 0,
     split_step: int = 0,
     capacity2: int = 0,
+    itv_min_depth: int = 20,
 ) -> FrontierResult:
     """Execute one compiled scheme over a read batch.
 
@@ -236,24 +237,91 @@ def run_scheme(
         # dynamic scheme selection: only the chosen scheme's searches live
         ranges0 = jnp.where(search_mask.reshape(-1)[:, None], ranges0, 0)
 
-    def exact_step(rs, tab):
-        ex_pos, ex_dir = tab  # per-search (S,) or per-lane (R*S,)
-        pos = ex_pos if dyn is not None else ex_pos[sid0]
-        dr = ex_dir if dyn is not None else ex_dir[sid0]
-        act = pos >= 0
-        chars = reads[rid0, jnp.clip(pos, 0, m - 1)].astype(jnp.int32)
-        new = extend.extend_char(index, rs, chars, dr)
-        return jnp.where(act[:, None], new, rs), None
+    M = max(int(itv_cap), 1)
+    itv_buf0 = jnp.zeros((M + 1, 4), jnp.int32)
+    itv_cnt0 = jnp.zeros((), jnp.int32)
+    L = R * S
+    ids0 = rid0 * S + sid0
+    # zero dead lanes so liveness stays implicit through compaction
+    ranges0 = jnp.where((ranges0[:, 1] > ranges0[:, 0])[:, None], ranges0, 0)
 
-    if dyn is not None:
-        if E > 0:
-            ranges0, _ = jax.lax.scan(
-                exact_step, ranges0, (dyn["ex_pos"].T, dyn["ex_dir"].T)
-            )
-    elif sched.e_max > 0:
-        ranges0, _ = jax.lax.scan(
-            exact_step, ranges0, (tables["ex_pos"], tables["ex_dir"])
-        )
+    kmer_eff = sched.kmer_k if (dyn is None and kmer_table is not None) else 0
+
+    def drain(ranges, ids, dbt, itv_buf, itv_cnt, allow=True):
+        """Move lanes with 0 < width <= switchpoint into the in-text buffer
+        (the reference skips searches whose start range is narrow the same
+        way, src/searchstrategy.cpp:1181-1254 + exactMatchesOutput's early
+        crossover src/indexinterface.cpp:947-1014)."""
+        width = ranges[:, 1] - ranges[:, 0]
+        narrow = (width > 0) & (width <= switchpoint) & allow
+        npos = jnp.cumsum(narrow.astype(jnp.int32)) - 1
+        dest = jnp.where(narrow, jnp.minimum(itv_cnt + npos, M), M)
+        rows = jnp.stack([ranges[:, 0], ranges[:, 1], ids, dbt], axis=1)
+        itv_buf = itv_buf.at[dest].set(rows, mode="drop")
+        itv_cnt = jnp.minimum(itv_cnt + npos[-1] + 1, M)
+        return jnp.where(narrow[:, None], 0, ranges), itv_buf, itv_cnt
+
+    # ---------------- exact prefix ----------------
+    # A lockstep while_loop over exact steps with per-step crossover drain
+    # and compaction: on real workloads ranges narrow below the switchpoint
+    # within a handful of post-seed characters, after which the whole batch
+    # exits the loop early instead of grinding E near-empty steps.
+    if E > 0:
+        if dyn is None:
+            ex_pos_t = tables["ex_pos"]                       # (E, S)
+            ex_dir_t = tables["ex_dir"]
+            db_ex_t = jnp.asarray(sched.db_ex.T)              # (E, S)
+        est0 = jnp.concatenate([ranges0, ids0[:, None]], axis=1)
+
+        def ex_cond(c):
+            t, st = c[0], c[1]
+            return (t < E) & jnp.any(st[:, 1] > st[:, 0])
+
+        def ex_body(c):
+            t, st, ib, ic = c
+            ranges = st[:, :rw]
+            ids = st[:, rw]
+            sid = ids % S
+            rid = ids // S
+            alive = ranges[:, 1] > ranges[:, 0]
+            if dyn is None:
+                pos = ex_pos_t[t][sid]
+                dr = ex_dir_t[t][sid]
+                dbt = db_ex_t[t][sid]
+            else:
+                pos = dyn["ex_pos"][ids, t]
+                dr = dyn["ex_dir"][ids, t]
+                dbt = dyn["db_ex_steps"][ids, t]
+            act = (pos >= 0) & alive
+            chars = reads[rid, jnp.clip(pos, 0, m - 1)].astype(jnp.int32)
+            new = extend.extend_char(
+                index, jnp.where(act[:, None], ranges, 0), chars, dr)
+            new = jnp.where(act[:, None], new, ranges)
+            new = jnp.where((new[:, 1] > new[:, 0])[:, None], new, 0)
+            if switchpoint > 0:
+                # gate the crossover on matched depth: a segment shorter
+                # than ~20 chars is not specific (4^20 >> genome), so
+                # draining early floods locate/verify with junk windows
+                gate = t >= max(0, itv_min_depth - kmer_eff - 1)
+                new, ib, ic = drain(new, ids, dbt, ib, ic, allow=gate)
+            # compact live lanes to the front (drops dead + drained)
+            al = new[:, 1] > new[:, 0]
+            cpos = jnp.cumsum(al.astype(jnp.int32)) - 1
+            dst = jnp.where(al, cpos, L)
+            src = jnp.full((L + 1,), L, jnp.int32)
+            src = src.at[dst].set(jnp.arange(L, dtype=jnp.int32),
+                                  mode="drop")[:L]
+            lv = src < L
+            packed = jnp.concatenate([new, ids[:, None]], axis=1)
+            st2 = jnp.where(lv[:, None], packed[jnp.where(lv, src, 0)], 0)
+            return t + 1, st2, ib, ic
+
+        _, est, itv_buf0, itv_cnt0 = jax.lax.while_loop(
+            ex_cond, ex_body,
+            (jnp.zeros((), jnp.int32), est0, itv_buf0, itv_cnt0))
+        ranges0 = est[:, :rw]
+        ids0 = est[:, rw]
+        rid0, sid0 = ids0 // S, ids0 % S
 
     # ---------------- frontier init ----------------
     # Compact the R*S initial nodes into the C-lane frontier, dropping the
@@ -262,22 +330,11 @@ def run_scheme(
     # State compactness matters (the per-step compaction moves the whole
     # state): bands/colmin are int8 and rid/sid pack into one int32;
     # liveness is implicit (empty range = dead).
-    M = max(int(itv_cap), 1)
-    itv_buf0 = jnp.zeros((M + 1, 4), jnp.int32)
-    itv_cnt0 = jnp.zeros((), jnp.int32)
-    width0 = ranges0[:, 1] - ranges0[:, 0]
     if switchpoint > 0:
-        db_ex = (jnp.asarray(sched.db_exact) if dyn is None
-                 else dyn["db_exact"])
-        narrow0 = (width0 > 0) & (width0 <= switchpoint)
-        np0 = jnp.cumsum(narrow0.astype(jnp.int32)) - 1
-        dest0i = jnp.where(narrow0, jnp.minimum(np0, M), M)
-        rows0 = jnp.stack(
-            [ranges0[:, 0], ranges0[:, 1], rid0 * S + sid0,
-             (db_ex[sid0] if dyn is None else db_ex)], axis=1)
-        itv_buf0 = itv_buf0.at[dest0i].set(rows0, mode="drop")
-        itv_cnt0 = jnp.minimum(np0[-1] + 1, M)
-        ranges0 = jnp.where(narrow0[:, None], 0, ranges0)
+        db_ex0 = (jnp.asarray(sched.db_exact)[sid0] if dyn is None
+                  else dyn["db_exact"][ids0])
+        ranges0, itv_buf0, itv_cnt0 = drain(
+            ranges0, ids0, db_ex0, itv_buf0, itv_cnt0)
 
     alive0 = ranges0[:, 1] > ranges0[:, 0]
     pos0 = jnp.cumsum(alive0.astype(jnp.int32)) - 1
@@ -295,15 +352,17 @@ def run_scheme(
         shape = (C,) + (1,) * (out.ndim - 1)
         return jnp.where(live0.reshape(shape), out, jnp.asarray(fill, val.dtype))
 
+    # NOTE: gather per-lane init tables by lane IDENTITY (ids0), not array
+    # position — the exact-prefix loop compacts lanes out of the R*S layout.
     if dyn is not None:
-        band_init = dyn["band_init"]
-        colmin_init = dyn["colmin_init"].reshape(R * S, 2, 1)
+        band_init = dyn["band_init"][ids0]
+        colmin_init = dyn["colmin_init"][ids0].reshape(L, 2, 1)
     else:
         band_init = jnp.asarray(sched.band_init, dtype=jnp.int8)[sid0]
         colmin_init = tables["colmin_init"][sid0].astype(jnp.int8)
     state = _pack_state(
         take0(ranges0, 0),
-        take0(rid0 * S + sid0, 0),
+        take0(ids0, 0),
         take0(band_init, INF),
         take0(colmin_init, INF),
         bw, W,

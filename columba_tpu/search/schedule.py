@@ -83,6 +83,8 @@ class Schedule:
     # exact prefix tables (S, e_max)
     ex_pos: np.ndarray       # absolute read position to match, or -1 idle
     ex_dir: np.ndarray       # 0 backward / 1 forward
+    db_ex: np.ndarray        # (S, e_max) back-side depth AFTER each exact
+                             # step (for the in-text crossover estimate)
     # band step tables (S, t_max)
     active: np.ndarray       # bool: does search s run at step t
     side: np.ndarray         # 0 back / 1 fwd
@@ -173,6 +175,7 @@ def compile_schedule(
             if ps["kmer_start"] >= 0:
                 ps["ex_pos"] = ps["ex_pos"][kmer_k:]
                 ps["ex_dir"] = ps["ex_dir"][kmer_k:]
+                ps["db_ex"] = ps["db_ex"][kmer_k:]
         per_search.append(ps)
 
     e_max = max(len(ps["ex_pos"]) for ps in per_search)
@@ -188,6 +191,7 @@ def compile_schedule(
     cini_idle = _pack6([63] * 5)
     ex_pos = np.full((S, e_max), -1, dtype=np.int32)
     ex_dir = np.zeros((S, e_max), dtype=np.int32)
+    db_ex = np.zeros((S, e_max), dtype=np.int32)
     active = np.zeros((S, t_max), dtype=bool)
     side = np.zeros((S, t_max), dtype=np.int32)
     ub = np.full((S, t_max), k, dtype=np.int32)
@@ -213,6 +217,8 @@ def compile_schedule(
         e = len(ps["ex_pos"])
         ex_pos[i, :e] = ps["ex_pos"]
         ex_dir[i, :e] = ps["ex_dir"]
+        db_ex[i, :e] = ps["db_ex"]
+        db_ex[i, e:] = ps["db_exact"]
         t = len(ps["side"])
         off = t_max - t  # end-aligned
         active[i, off:] = True
@@ -236,7 +242,8 @@ def compile_schedule(
 
     return Schedule(
         k=k, kb=kb, m=m, num_searches=S, e_max=e_max, t_max=t_max,
-        ex_pos=ex_pos, ex_dir=ex_dir, active=active, side=side, ub=ub,
+        ex_pos=ex_pos, ex_dir=ex_dir, db_ex=db_ex,
+        active=active, side=side, ub=ub,
         cops=cops, cini=cini, cacc=cacc, cfro=cfro, db=db, db_exact=db_exact,
         posw=posw, mvalid=mvalid, cvalid=cvalid,
         u_last=u_last, t_back=t_back, pivot=pivot, colmin_init=colmin_init,
@@ -261,7 +268,7 @@ def _compile_one(search, pts, kb):
 
     n_exact = search.num_exact_prefix_phases
     # ---- exact prefix: pattern positions consumed, in order ----
-    ex_pos, ex_dir = [], []
+    ex_pos, ex_dir, db_ex = [], [], []
     b_prev, f_prev = 0, 0
     for i in range(n_exact):
         be, fe = extents[i]
@@ -269,10 +276,12 @@ def _compile_one(search, pts, kb):
             for j in range(b_prev + 1, be + 1):  # j-th back char = pos piv-j
                 ex_pos.append(piv - j)
                 ex_dir.append(0)
+                db_ex.append(j)
         else:
             for j in range(f_prev + 1, fe + 1):  # j-th fwd char = pos piv+j-1
                 ex_pos.append(piv + j - 1)
                 ex_dir.append(1)
+                db_ex.append(b_prev)
         b_prev, f_prev = be, fe
 
     # exact depths after the prefix
@@ -394,6 +403,7 @@ def _compile_one(search, pts, kb):
     return dict(
         ex_pos=np.array(ex_pos, dtype=np.int32),
         ex_dir=np.array(ex_dir, dtype=np.int32),
+        db_ex=np.array(db_ex, dtype=np.int32),
         side=np.array(side_l, dtype=np.int32),
         ub=np.array(ubv, dtype=np.int32),
         db=np.array(db_rows, dtype=np.int32),

@@ -67,6 +67,45 @@ def make_workload(wd, n=200_000, reads=300, m=100, maxerr=2, seed=1,
     return fa, fq
 
 
+def make_paired_workload(wd, n=200_000, pairs=200, m=100, maxerr=2, seed=1,
+                         edits=False):
+    """FR-oriented pairs with inserts ~N(350, 40) in [250, 450]."""
+    os.makedirs(wd, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, n))
+    fa = os.path.join(wd, "genome.fa")
+    with open(fa, "w") as f:
+        f.write(">chr1\n")
+        for i in range(0, n, 70):
+            f.write(seq[i:i + 70] + "\n")
+    comp = str.maketrans("ACGT", "TGCA")
+
+    def mutate(s):
+        s = list(s)
+        for _ in range(int(rng.integers(0, maxerr + 1))):
+            j = int(rng.integers(0, m))
+            if edits and rng.random() < 0.3:
+                if rng.random() < 0.5:
+                    del s[j]
+                else:
+                    s.insert(j, "ACGT"[int(rng.integers(0, 4))])
+            else:
+                s[j] = "ACGT"[int(rng.integers(0, 4))]
+        return "".join(s[:m])
+
+    fq1, fq2 = os.path.join(wd, "r1.fq"), os.path.join(wd, "r2.fq")
+    with open(fq1, "w") as f1, open(fq2, "w") as f2:
+        for i in range(pairs):
+            ins = int(np.clip(rng.normal(350, 40), 250, 450))
+            p = int(rng.integers(0, n - ins - maxerr - 1))
+            frag = seq[p:p + ins + maxerr]
+            r1 = mutate(frag[:m + maxerr])
+            r2 = mutate(frag[-(m + maxerr):][::-1].translate(comp))
+            f1.write(f"@p{i}\n{r1}\n+\n{'I' * len(r1)}\n")
+            f2.write(f"@p{i}\n{r2}\n+\n{'I' * len(r2)}\n")
+    return fa, fq1, fq2
+
+
 def parse_sam(path, with_cigar=False):
     per_read = defaultdict(set)
     for line in open(path):
@@ -78,14 +117,16 @@ def parse_sam(path, with_cigar=False):
             per_read[name]  # ensure key exists
             continue
         nm = next((int(x[5:]) for x in f[11:] if x.startswith("NM:i:")), -1)
+        mate = flag & 0xC0  # first/second-of-pair bits (0 for SE)
         if with_cigar:
-            per_read[name].add((flag & 16, int(f[3]), nm, f[5], int(f[4])))
+            per_read[name].add((mate, flag & 16, int(f[3]), nm, f[5],
+                                int(f[4])))
         else:
-            per_read[name].add((flag & 16, int(f[3]), nm))
+            per_read[name].add((mate, flag & 16, int(f[3]), nm))
     return per_read
 
 
-def run_reference(wd, fa, fq, args):
+def run_reference(wd, fa, fq, args, fq2=None):
     idx = os.path.join(wd, "refidx")
     if not os.path.exists(idx + ".meta"):
         subprocess.run([REF_BUILD, "-r", idx, "-f", fa], check=True,
@@ -93,13 +134,15 @@ def run_reference(wd, fa, fq, args):
     out = os.path.join(wd, "ref.sam")
     cmd = [REF_BIN, "-r", idx, "-f", fq, "-o", out, "-a", args.mode,
            "-m", args.metric, "-t", "1", "-p", "uniform", "-S", args.scheme]
+    if fq2 is not None:
+        cmd += ["-F", fq2, "-nI", "-O", "FR", "-N", "200", "-X", "500"]
     if args.mode == "all":
         cmd += ["-e", str(args.e)]
     subprocess.run(cmd, check=True, capture_output=True)
     return out
 
 
-def run_ours(wd, fa, fq, args):
+def run_ours(wd, fa, fq, args, fq2=None):
     from columba_tpu import cli
 
     idx = os.path.join(wd, "ours.cidx")
@@ -108,6 +151,9 @@ def run_ours(wd, fa, fq, args):
     out = os.path.join(wd, "ours.sam")
     cmd = ["align", "-r", idx, "-f", fq, "-o", out, "-a", args.mode,
            "-m", args.metric, "-S", args.scheme]
+    if fq2 is not None:
+        cmd += ["-F", fq2, "--no-inferring", "-O", "fr",
+                "-N", "200", "-X", "500"]
     if args.mode == "all":
         cmd += ["-e", str(args.e)]
     cli.main(cmd)
@@ -122,13 +168,13 @@ def compare(ref_sam, our_sam, level="positions"):
     for name in names:
         a, b = ref.get(name, set()), ours.get(name, set())
         if level == "best":
-            abest = min((x[2] for x in a), default=None)
-            bbest = min((x[2] for x in b), default=None)
+            abest = min((x[3] for x in a), default=None)
+            bbest = min((x[3] for x in b), default=None)
             if abest != bbest:
                 mismatches.append((name, "best", abest, bbest))
                 continue
-            a = {x for x in a if x[2] == abest}
-            b = {x for x in b if x[2] == bbest}
+            a = {x for x in a if x[3] == abest}
+            b = {x for x in b if x[3] == bbest}
         if a != b:
             mismatches.append((name, "set", sorted(a - b), sorted(b - a)))
     return names, mismatches
@@ -146,13 +192,20 @@ def main(argv=None):
     p.add_argument("--edits", action="store_true")
     p.add_argument("--level", default="positions", choices=["positions", "best", "cigar"])
     p.add_argument("--wd", default="/tmp/parity")
+    p.add_argument("--paired", action="store_true")
     args = p.parse_args(argv)
 
     wd = args.wd
-    fa, fq = make_workload(wd, n=args.genome, reads=args.reads,
-                           maxerr=args.e, seed=args.seed, edits=args.edits)
-    ref_sam = run_reference(wd, fa, fq, args)
-    our_sam = run_ours(wd, fa, fq, args)
+    fq2 = None
+    if args.paired:
+        fa, fq, fq2 = make_paired_workload(
+            wd, n=args.genome, pairs=args.reads, maxerr=args.e,
+            seed=args.seed, edits=args.edits)
+    else:
+        fa, fq = make_workload(wd, n=args.genome, reads=args.reads,
+                               maxerr=args.e, seed=args.seed, edits=args.edits)
+    ref_sam = run_reference(wd, fa, fq, args, fq2)
+    our_sam = run_ours(wd, fa, fq, args, fq2)
     names, mismatches = compare(ref_sam, our_sam, args.level)
     n_bad = len(mismatches)
     print(f"parity[{args.level}] {args.mode}/{args.metric} e={args.e} "
