@@ -2,10 +2,11 @@
 
 Mirrors the reference's two binaries (reference: src/buildindex.cpp CLI,
 src/parameters/alignparameters.cpp) with the same core options:
-  build:  -r <index-dir> -f <fasta...> [-s sa-sparseness] [--seed]
+  build:  -r <index-dir> -f <fasta...> [-s sa-sparseness] [--seed] [--rlc]
   align:  -r <index-dir> -f <reads> -o <out.sam> [-e dist] [-a all|best]
-          [-m edit|hamming] [-S scheme] [-x best+x] [-I min-identity]
-          [-K batch-size]
+          [-m edit|hamming] [-S scheme | -c folder | -d folder]
+          [-x best+x] [-I min-identity] [-K kmer-size] [-b batch-size]
+          [-p partitioning] [-i switchpoint] [-nC|-aC] [-D [n]] [-l log]
 
 Usage: python -m columba_tpu.cli <build|align> ...
 """
@@ -30,6 +31,8 @@ def main(argv=None):
     b.add_argument("--write-preprocessed", action="store_true")
     b.add_argument("--rlc", action="store_true",
                    help="build the run-length-compressed (b-move) flavor")
+    b.add_argument("-l", "--log-file", default=None)
+    b.add_argument("-v", "--verbose", action="store_true")
 
     a = sub.add_parser("align", help="map reads against an index")
     a.add_argument("-r", "--index", required=True)
@@ -47,9 +50,37 @@ def main(argv=None):
     a.add_argument("-a", "--mode", choices=["all", "best"], default="best")
     a.add_argument("-m", "--metric", choices=["edit", "hamming"], default="edit")
     a.add_argument("-S", "--scheme", default="kuch1")
+    a.add_argument("-c", "--custom", default=None, metavar="DIR",
+                   help="custom search scheme folder (reference -c; "
+                        "dynamic selection via mirror unless -nD)")
+    a.add_argument("-d", "--dynamic-selection-path", default=None,
+                   metavar="DIR",
+                   help="folder of scheme<x>.txt collections per k for "
+                        "dynamic selection (reference -d)")
     a.add_argument("-x", "--best-plus-x", type=int, default=0)
     a.add_argument("-I", "--min-identity", type=int, default=95)
-    a.add_argument("-K", "--batch-size", type=int, default=512)
+    a.add_argument("-K", "--kmer-size", type=int, default=10,
+                   help="seed k-mer length, 0 disables (reference -K; "
+                        "dense table caps at 13)")
+    a.add_argument("-b", "--batch-size", type=int, default=512)
+    a.add_argument("-t", "--threads", type=int, default=None,
+                   help="accepted for reference compatibility; parallelism "
+                        "here is per-chip batching + the device mesh")
+    a.add_argument("-l", "--log-file", default=None)
+    a.add_argument("-v", "--verbose", action="store_true")
+    a.add_argument("-R", "--reorder", action="store_true",
+                   help="accepted for compatibility; output is always in "
+                        "input order")
+    a.add_argument("-nC", "--no-CIGAR", dest="no_cigar", action="store_true",
+                   help="do not output CIGAR strings")
+    a.add_argument("-aC", "--activate-CIGAR", dest="activate_cigar",
+                   action="store_true",
+                   help="force CIGAR output (RLC flavor defaults to none, "
+                        "reference -aC)")
+    a.add_argument("-D", "--discordant", nargs="?", type=int, const=100000,
+                   default=None, metavar="N",
+                   help="allow discordant pairs, optionally at most N per "
+                        "pair (reference -D)")
     a.add_argument("--capacity", type=int, default=None)
     a.add_argument("--no-kmer-table", action="store_true",
                    help="disable the dense k-mer seed table")
@@ -75,6 +106,11 @@ def main(argv=None):
 
 
 def cmd_build(args):
+    from columba_tpu.logger import logger
+
+    logger.verbose = args.verbose
+    if args.log_file:
+        logger.set_log_file(args.log_file)
     t0 = time.time()
     if args.rlc:
         from columba_tpu.index.bmove import build_bmove
@@ -104,12 +140,20 @@ def cmd_align(args):
     from columba_tpu.index.build import load_index
     from columba_tpu.index.fmindex import FMIndex
     from columba_tpu.io import fastq, sam
+    from columba_tpu.logger import logger
     from columba_tpu.search.strategy import (
         MappingConfig, emit_sam, map_batch_all, map_batch_best,
     )
 
     import json as _json
     import os as _os
+
+    logger.verbose = args.verbose
+    if args.log_file:
+        logger.set_log_file(args.log_file)
+    if args.threads is not None:
+        logger.verbose_msg(
+            f"-t {args.threads} accepted; parallelism is per-chip batching")
 
     with open(_os.path.join(args.index, "meta.json")) as _f:
         _flavor = _json.load(_f).get("flavor", "vanilla")
@@ -119,18 +163,31 @@ def cmd_align(args):
 
         arrays = load_bmove(args.index)
         index = BMoveIndex.from_arrays(arrays)
-        if args.partitioning == "dynamic":
-            print("[columba_tpu] RLC: dynamic partitioning unavailable, "
-                  "using uniform", file=sys.stderr)
-            args.partitioning = "uniform"
     else:
         arrays = load_index(args.index)
         index = FMIndex.from_arrays(arrays)
+    # CIGAR defaults mirror the reference: on for Vanilla (-nC disables),
+    # off for RLC (-aC enables) — src/parameters/alignparameters.cpp:131-160
+    args.with_cigar = ((not args.no_cigar) if not rlc
+                       else args.activate_cigar)
+    # scheme source precedence mirrors Parameters::createStrategy
+    # (src/parameters/alignparameters.cpp:1313-1345): -d > -c > -S
+    dynamic_selection = (args.scheme == "columba"
+                         and not args.no_dynamic_selection)
+    if args.dynamic_selection_path:
+        args.scheme = args.dynamic_selection_path
+        dynamic_selection = True
+    elif args.custom:
+        args.scheme = args.custom
+        dynamic_selection = not args.no_dynamic_selection
     kmer_table = None
-    if not args.no_kmer_table and not rlc:
+    kmer_k = max(0, min(int(args.kmer_size), 13))
+    if kmer_k != args.kmer_size:
+        logger.warning(f"kmer-size clamped to {kmer_k} (dense table)")
+    if not args.no_kmer_table and not rlc and kmer_k > 0:
         from columba_tpu.index.kmer import build_kmer_table
 
-        kmer_table = build_kmer_table(index)
+        kmer_table = build_kmer_table(index, kmer_k)
     cfg = MappingConfig(
         scheme_name=args.scheme,
         metric=args.metric,
@@ -140,8 +197,7 @@ def cmd_align(args):
         min_identity=args.min_identity,
         capacity=args.capacity,
         kmer_table=kmer_table,
-        dynamic_selection=(args.scheme == "columba"
-                           and not args.no_dynamic_selection),
+        dynamic_selection=dynamic_selection,
         partitioning=args.partitioning,
         switchpoint=args.in_text,
     )
@@ -186,7 +242,8 @@ def cmd_align(args):
             else:
                 lines = emit_sam(records, mapped, arrays, index, kb,
                                  mode=args.mode, xa_tag=args.xa_tag,
-                                 unmapped_records=not args.no_unmapped)
+                                 unmapped_records=not args.no_unmapped,
+                                 with_cigar=args.with_cigar)
             for line in lines:
                 out.write(line)
             n_reads += len(records)
@@ -198,15 +255,18 @@ def cmd_align(args):
                 f"({rate:,.0f} reads/s)",
                 file=sys.stderr,
             )
+            logger.verbose_msg(f"{n_reads} reads processed")
     # end-of-run statistics (reference: src/indexhelpers.cpp:388-513)
     pct = 100.0 * n_mapped / max(n_reads, 1)
-    print(
-        f"[columba_tpu] done: {n_reads} reads, {pct:.2f}% mapped, "
+    summary = (
+        f"done: {n_reads} reads, {pct:.2f}% mapped, "
         f"{counters['records']} alignments, "
         f"{counters['records'] / max(n_reads, 1):.2f} per read, "
-        f"total {time.time() - t0:.1f}s",
-        file=sys.stderr,
+        f"total {time.time() - t0:.1f}s"
     )
+    print(f"[columba_tpu] {summary}", file=sys.stderr)
+    if args.log_file:
+        logger.info(summary)
     return 0
 
 
@@ -225,6 +285,9 @@ def _align_paired(args, arrays, index, cfg, kmer_table):
         min_insert=args.min_insert_size,
         max_insert=args.max_insert_size,
         infer=not args.no_inferring,
+        discordant=args.discordant is not None,
+        max_discordant=(args.discordant if args.discordant is not None
+                        else 100000),
     )
     recs1 = list(fastq.parse_reads(args.reads))
     recs2 = list(fastq.parse_reads(args.reads2))
@@ -237,7 +300,8 @@ def _align_paired(args, arrays, index, cfg, kmer_table):
 
     if pcfg.infer:
         pcfg = paired.infer_parameters(
-            index, reads1, reads2, cfg, arrays.seq_starts, kmer_table)
+            index, reads1, reads2, cfg, arrays.seq_starts, kmer_table,
+            pcfg_in=pcfg)
         import sys as _sys
         print(f"[columba_tpu] inferred orientation={pcfg.orientation} "
               f"insert=[{pcfg.min_insert},{pcfg.max_insert}]", file=_sys.stderr)

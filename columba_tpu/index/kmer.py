@@ -14,6 +14,9 @@ significant digits).
 
 from __future__ import annotations
 
+import functools
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -32,10 +35,18 @@ def pack_codes(chars: jax.Array) -> jax.Array:
     return jnp.where(bad, -1, code)
 
 
-@jax.jit
-def build_kmer_table(index: FMIndex) -> jax.Array:
-    """(4^K, 4) int32 bidirectional ranges for all K-mers (K=10)."""
-    K = DEFAULT_K
+def table_k(table) -> int:
+    """Recover K from a dense table's row count (4^K rows)."""
+    n = int(table.shape[0])
+    K = max(1, round(math.log(n, 4)))
+    assert 4 ** K == n, f"k-mer table rows {n} not a power of 4"
+    return K
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def build_kmer_table(index: FMIndex, K: int = DEFAULT_K) -> jax.Array:
+    """(4^K, 4) int32 bidirectional ranges for all K-mers (reference -K,
+    default 10; dense direct-addressing caps K at 13 = 1 GiB)."""
     n = 4 ** K
     codes = jnp.arange(n, dtype=jnp.int32)
     ranges = index.full_range((n,))

@@ -300,7 +300,7 @@ def dynamic_partition(
 
     R, m = reads.shape
     p = scheme.num_parts
-    K = kmer_mod.DEFAULT_K if kmer_table is not None else 1
+    K = kmer_mod.table_k(kmer_table) if kmer_table is not None else 1
     if p * K >= (2 * m) // 3:
         K, kmer_table = 1, None
 
@@ -324,19 +324,15 @@ def dynamic_partition(
         offs = jnp.arange(K, dtype=jnp.int32)
         wchars = reads[jnp.arange(R)[:, None, None],
                        jnp.clip(begins[:, :, None] + offs, 0, m - 1)]
-        ranges = kmer_mod.lookup(kmer_table, wchars)          # (R,p,4)
+        ranges = kmer_mod.lookup(kmer_table, wchars)          # (R,p,rw)
     else:
-        # single-char seed ranges: [counts[c], counts[c+1])-style
-        c0 = reads[jnp.arange(R)[:, None], begins]
-        counts_ext = jnp.concatenate(
-            [index.counts, index.n_arr[1:2]])
-        safe = jnp.clip(c0, 0, 3)
-        lo = counts_ext[safe]
-        hi = counts_ext[safe + 1]
-        bad = c0 > 3
-        lo = jnp.where(bad, 0, lo)
-        hi = jnp.where(bad, 0, hi)
-        ranges = jnp.stack([lo, hi, lo, hi], axis=-1)
+        # single-char seed ranges: one backward extension of the full
+        # range yields [counts[c], counts[c+1]) — and, on the RLC
+        # backend, the matching run hints — for both flavors
+        c0 = reads[jnp.arange(R)[:, None], begins].astype(jnp.int32)
+        ranges = ext.extend_char(
+            index, index.full_range((R, p)), c0,
+            jnp.zeros((R, p), jnp.int32))
 
     steps = m - p * K
 
@@ -369,7 +365,8 @@ def dynamic_partition(
         newpos = jnp.where(go_back, b - 1, e)
         chars = reads[jnp.arange(R), jnp.clip(newpos, 0, m - 1)]
         cur = jnp.take_along_axis(
-            ranges, part[:, None, None].repeat(4, axis=2), axis=1)[:, 0]
+            ranges, part[:, None, None].repeat(ranges.shape[-1], axis=2),
+            axis=1)[:, 0]
         dirs = jnp.where(go_back, 0, 1).astype(jnp.int32)
         any_ext = sel(extendable)
         new_rng = ext.extend_char(index, cur, chars.astype(jnp.int32), dirs)

@@ -17,7 +17,7 @@ reference's PE logic:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 import numpy as np
 
@@ -34,7 +34,9 @@ class PairedConfig:
     min_insert: int = 0
     max_insert: int = 500
     infer: bool = True
-    discordant: bool = True
+    # discordant pairing requires the -D flag, matching the reference
+    # (src/parameters/alignparameters.cpp:691-716, default disallowed)
+    discordant: bool = False
     max_discordant: int = 100000
 
 
@@ -186,9 +188,11 @@ def infer_parameters(
     cfg: strategy.MappingConfig,
     seq_starts: np.ndarray,
     kmer_table=None,
+    pcfg_in: "PairedConfig | None" = None,
 ) -> PairedConfig:
     """Infer orientation + insert-size window from unambiguous pairs
-    (reference: src/parallel.cpp:402-465)."""
+    (reference: src/parallel.cpp:402-465). Non-inferred settings
+    (discordant policy) carry over from ``pcfg_in``."""
     n = min(len(reads1), INFERENCE_MAX_READS)
     m1 = strategy.map_batch_best(index, reads1[:n], cfg)
     m2 = strategy.map_batch_best(index, reads2[:n], cfg)
@@ -212,7 +216,7 @@ def infer_parameters(
         if len(frags) >= INFERENCE_PAIRS:
             break
     if len(frags) < 20:
-        return PairedConfig()  # defaults
+        return replace(pcfg_in, infer=False) if pcfg_in else PairedConfig()
     frags = np.array(frags, dtype=np.float64)
     med = np.median(frags)
     mad = np.median(np.abs(frags - med)) or 1.0
@@ -224,6 +228,8 @@ def infer_parameters(
         min_insert=max(0, int(mean - 6 * std)),
         max_insert=int(mean + 6 * std),
         infer=False,
+        discordant=pcfg_in.discordant if pcfg_in else False,
+        max_discordant=pcfg_in.max_discordant if pcfg_in else 100000,
     )
 
 

@@ -211,7 +211,7 @@ def part_exact_ranges(
     flat = chars.reshape(R * p, maxlen).astype(jnp.int32)
     flat_len = jnp.broadcast_to(lengths[None], (R, p)).reshape(-1)
     rng = extend.exact_match(index, flat, flat_len)
-    return rng.reshape(R, p, 4)
+    return rng.reshape(R, p, -1)  # last dim = index.range_width (4 or 8)
 
 
 def select_schemes(
@@ -278,7 +278,7 @@ def match_all(
     if k == 0:
         return _match_exact(index, batch, R, max_locate)
 
-    from columba_tpu.index.kmer import DEFAULT_K
+    from columba_tpu.index.kmer import table_k
 
     search_mask = None
     if isinstance(scheme, (list, tuple)):
@@ -287,6 +287,13 @@ def match_all(
         search_mask = jnp.asarray(mask_np)
 
     dyn = None
+    n_parts = scheme.num_parts
+    if (partitioning == "dynamic" and partition_pts is None
+            and m < n_parts * (2 * kb + 1)):
+        # parametric schedules require every part >= 2*kb+1 (the overshoot
+        # construction); when the read cannot fit that, fall back to the
+        # static compiler's short-part path (rotating colMin registers)
+        partitioning = "uniform"
     if partitioning == "dynamic" or partition_pts is not None:
         from columba_tpu.search import dynschedule
 
@@ -299,7 +306,8 @@ def match_all(
         dyn = dynschedule.build_tables(st, pts_dev, jnp.asarray(batch))
 
     sched = compile_cached(scheme, m, metric,
-                           kmer_k=(DEFAULT_K if kmer_table is not None
+                           kmer_k=(table_k(kmer_table)
+                                   if kmer_table is not None
                                    and dyn is None else 0),
                            partitioning="uniform" if dyn is not None
                            else partitioning)

@@ -251,6 +251,33 @@ def load_scheme_folder(folder: str, k: int) -> SearchScheme:
     return scheme
 
 
+def load_multi_scheme_folder(folder: str, k: int) -> list[SearchScheme]:
+    """Load ``<folder>/<k>/scheme1.txt scheme2.txt ...`` — the reference's
+    dynamic-selection collection layout (-d; src/searchstrategy.h:2390-2445
+    ``MultipleSchemes::getSchemesFromFolder``). All schemes must share one
+    part count."""
+    schemes = []
+    x = 1
+    while True:
+        path = os.path.join(folder, str(k), f"scheme{x}.txt")
+        if not os.path.exists(path):
+            break
+        with open(path) as f:
+            sc = parse_scheme_text(f.read(), k=k, name=f"scheme{x}")
+        if not sc.is_valid():
+            raise ValueError(f"scheme{x} k={k} in {folder} is not lossless")
+        schemes.append(sc)
+        x += 1
+    if not schemes:
+        raise ValueError(
+            f"no {folder}/{k}/scheme1.txt — expected the reference's "
+            "dynamic-selection collection layout")
+    p = schemes[0].num_parts
+    if any(sc.num_parts != p for sc in schemes):
+        raise ValueError(f"schemes in {folder}/{k} differ in part count")
+    return schemes
+
+
 # ---------------------------------------------------------------------------
 # Generators / registry
 # ---------------------------------------------------------------------------
@@ -311,6 +338,10 @@ def get_multi_scheme(name: str, k: int) -> list[SearchScheme]:
             if k == 6:
                 out.append(mid.mirrored())
         return out
+    if os.path.isdir(name) and os.path.exists(
+        os.path.join(name, str(k), "scheme1.txt")
+    ):
+        return load_multi_scheme_folder(name, k)
     base = get_scheme(name, k)
     return [base, base.mirrored()]
 

@@ -223,10 +223,12 @@ def emit_sam(
     mode: str = "best",
     xa_tag: bool = False,
     unmapped_records: bool = True,
+    with_cigar: bool = True,
 ) -> list[str]:
     """SAM lines for a batch (primary = best occurrence, others secondary;
     with xa_tag, secondaries fold into the primary's XA:Z: tag instead,
-    reference: src/indexhelpers.h:418)."""
+    reference: src/indexhelpers.h:418). with_cigar=False emits '*' CIGARs
+    (reference -nC; the traceback still runs to refine begin positions)."""
     genome = unpack_2bit(arrays.text, arrays.n)
     starts = arrays.seq_starts
     lines = []
@@ -256,6 +258,9 @@ def emit_sam(
         # primary = best distance, earliest begin
         finalized.sort(key=lambda f: (f[4], f[7], f[0].strand))
         finalized = [f[:7] for f in finalized]
+        if not with_cigar:
+            finalized = [(o, sq, q, "*", ed, sx, pp)
+                         for o, sq, q, _, ed, sx, pp in finalized]
         best_ed = min((f[4] for f in finalized), default=0)
         n_best = sum(1 for f in finalized if f[4] == best_ed)
         mq = sam.mapq(max(n_best, 1))

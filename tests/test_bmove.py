@@ -120,6 +120,25 @@ def test_pipeline_parity_rlc_vs_vanilla(pair, rng, metric, switchpoint):
     assert key(o_bm) == key(o_fm)
 
 
+def test_dynamic_partitioning_rlc(pair, rng):
+    """Dynamic partitioning runs on the RLC back-end (char-seeded, 8-wide
+    ranges) and stays lossless: every Vanilla-uniform occurrence is found."""
+    from columba_tpu.search import pipeline
+    from columba_tpu.search.scheme import get_scheme
+
+    genome, fm, bm = pair
+    k = 2
+    reads = sample_reads(rng, genome, num=8, length=80, max_err=k, edits=True)
+    o_ref, _ = pipeline.match_all(fm, reads, get_scheme("kuch1", k),
+                                  metric="edit", redundancy_filter=False)
+    o_dyn, s = pipeline.match_all(bm, reads, get_scheme("kuch1", k),
+                                  metric="edit", redundancy_filter=False,
+                                  partitioning="dynamic")
+    assert s["overflow"] == 0
+    key = lambda os: {(o.read_id, o.strand, o.end, o.distance) for o in os}
+    assert key(o_dyn) == key(o_ref)
+
+
 def test_exact_mode_rlc(pair, rng):
     from columba_tpu.search import pipeline
     from columba_tpu.search.scheme import get_scheme

@@ -34,3 +34,9 @@ def _run(level, args_list, wd):
 ])
 def test_parity_smoke(tmp_path, spec):
     _run("positions", spec, str(tmp_path))
+
+
+def test_parity_smoke_paired(tmp_path):
+    _run("positions",
+         ["--mode", "best", "--metric", "edit", "--edits", "--paired"],
+         str(tmp_path))
