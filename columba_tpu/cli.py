@@ -24,14 +24,23 @@ def main(argv=None):
 
     b = sub.add_parser("build", help="build an index from FASTA file(s)")
     b.add_argument("-r", "--index", required=True, help="output index dir")
-    b.add_argument("-f", "--fasta", required=True, nargs="+")
+    b.add_argument("-f", "--fasta", nargs="+", default=None)
+    b.add_argument("-F", "--fasta-list", default=None,
+                   help="text file listing FASTA paths, one per line "
+                        "(reference -F)")
     b.add_argument("-s", "--sa-sparseness", type=int, default=4)
+    b.add_argument("-a", "--all-sa-sparseness", action="store_true",
+                   help="sample the full SA (sparseness 1) so align -s can "
+                        "pick any factor (reference -a)")
+    b.add_argument("-l", "--seed-length", type=int, default=100,
+                   help="seed string length for non-ACGT replacement, 0 = "
+                        "random (reference -l, default 100)")
     b.add_argument("--seed", type=int, default=42,
-                   help="RNG seed for non-ACGT replacement")
+                   help="RNG seed for non-ACGT replacement (seed-length 0)")
     b.add_argument("--write-preprocessed", action="store_true")
     b.add_argument("--rlc", action="store_true",
                    help="build the run-length-compressed (b-move) flavor")
-    b.add_argument("-l", "--log-file", default=None)
+    b.add_argument("--log-file", default=None)
     b.add_argument("-v", "--verbose", action="store_true")
 
     a = sub.add_parser("align", help="map reads against an index")
@@ -98,6 +107,9 @@ def main(argv=None):
                    help="trim reads to bases [START, END) before aligning")
     a.add_argument("-i", "--in-text", type=int, default=4,
                    help="in-text verification switchpoint (0 disables)")
+    a.add_argument("-s", "--sa-sparseness", type=int, default=None,
+                   help="SA sampling factor to align with (reference -s; "
+                        "must be a multiple of the built factor)")
 
     args = parser.parse_args(argv)
     if args.cmd == "build":
@@ -111,19 +123,27 @@ def cmd_build(args):
     logger.verbose = args.verbose
     if args.log_file:
         logger.set_log_file(args.log_file)
+    fastas = list(args.fasta or [])
+    if args.fasta_list:
+        with open(args.fasta_list) as f:
+            fastas += [ln.strip() for ln in f if ln.strip()]
+    if not fastas:
+        raise SystemExit("build: provide FASTA files via -f and/or -F")
     t0 = time.time()
     if args.rlc:
         from columba_tpu.index.bmove import build_bmove
 
-        arrays = build_bmove(args.fasta, out_dir=args.index, seed=args.seed)
+        arrays = build_bmove(fastas, out_dir=args.index, seed=args.seed)
         extra = (f" runs={arrays.meta['runs_fwd']}"
                  f" (r/n={arrays.meta['runs_fwd']/max(arrays.n,1):.3f})")
     else:
         from columba_tpu.index.build import build_index
 
         arrays = build_index(
-            args.fasta, out_dir=args.index, sa_sparseness=args.sa_sparseness,
+            fastas, out_dir=args.index,
+            sa_sparseness=1 if args.all_sa_sparseness else args.sa_sparseness,
             seed=args.seed, write_preprocessed_fasta=args.write_preprocessed,
+            seed_length=args.seed_length,
         )
         extra = ""
     print(
@@ -165,6 +185,10 @@ def cmd_align(args):
         index = BMoveIndex.from_arrays(arrays)
     else:
         arrays = load_index(args.index)
+        if args.sa_sparseness is not None:
+            from columba_tpu.index.build import subsample_sa
+
+            arrays = subsample_sa(arrays, args.sa_sparseness)
         index = FMIndex.from_arrays(arrays)
     # CIGAR defaults mirror the reference: on for Vanilla (-nC disables),
     # off for RLC (-aC enables) — src/parameters/alignparameters.cpp:131-160
@@ -219,15 +243,18 @@ def cmd_align(args):
         if args.trim:
             start, end = (int(x) for x in args.trim.split("-"))
             reader = fastq.trim_records(reader, start, end)
+        from columba_tpu.counters import Counters
+
+        ctrs = Counters()
         counters = {"reads": 0, "mapped": 0, "records": 0}
         for records, codes in fastq.batches_by_length(
             reader, args.batch_size
         ):
             if args.mode == "all":
-                mapped = map_batch_all(index, codes, cfg)
+                mapped = map_batch_all(index, codes, cfg, counters=ctrs)
                 kb = kb_for(cfg.max_distance)
             else:
-                mapped = map_batch_best(index, codes, cfg)
+                mapped = map_batch_best(index, codes, cfg, counters=ctrs)
                 from columba_tpu.search.strategy import get_max_ed, max_supported_k
 
                 m_len = codes.shape[1]
@@ -249,6 +276,11 @@ def cmd_align(args):
             n_reads += len(records)
             n_mapped += sum(1 for mr in mapped if mr.occs)
             counters["records"] += sum(len(mr.occs) for mr in mapped)
+            ctrs.number_of_reads += len(records)
+            ctrs.mapped_reads += sum(1 for mr in mapped if mr.occs)
+            ctrs.total_unique_matches += sum(len(mr.occs) for mr in mapped)
+            ctrs.total_reported_positions += sum(
+                len(mr.occs) for mr in mapped)
             rate = n_reads / max(time.time() - t0, 1e-9)
             print(
                 f"[columba_tpu] {n_reads} reads, {n_mapped} mapped "
@@ -267,6 +299,7 @@ def cmd_align(args):
     print(f"[columba_tpu] {summary}", file=sys.stderr)
     if args.log_file:
         logger.info(summary)
+    ctrs.report(logger, paired=False)
     return 0
 
 
@@ -317,6 +350,11 @@ def _align_paired(args, arrays, index, cfg, kmer_table):
     seq_lengths = list(np.diff(arrays.seq_starts))
     import sys as _sys
     import time as _time
+
+    from columba_tpu.counters import Counters
+    from columba_tpu.logger import logger
+
+    ctrs = Counters()
     t0 = _time.time()
     with open(args.output, "w") as out:
         out.write(sam.header(arrays.seq_names, seq_lengths))
@@ -330,8 +368,20 @@ def _align_paired(args, arrays, index, cfg, kmer_table):
                 recs1[off:off + B], recs2[off:off + B], mapped, arrays, kb,
             ):
                 out.write(line)
+            for mp in mapped:
+                ctrs.number_of_reads += 2
+                ctrs.total_unique_pairs += len(mp.pairs)
+                if mp.pairs:
+                    ctrs.mapped_pairs += 1
+                elif mp.discordant:
+                    ctrs.discordantly_mapped_pairs += 1
+                elif mp.unpaired1 and mp.unpaired2:
+                    ctrs.unpaired_but_mapped_pairs += 1
+                elif mp.unpaired1 or mp.unpaired2:
+                    ctrs.mapped_half_pairs += 1
             done = min(off + B, len(recs1))
             rate = done / max(_time.time() - t0, 1e-9)
             print(f"[columba_tpu] {done} pairs ({rate:,.0f} pairs/s)",
                   file=_sys.stderr)
+    ctrs.report(logger, paired=True)
     return 0

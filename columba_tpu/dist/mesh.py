@@ -71,13 +71,16 @@ def sharded_match(
         out["nodes_visited"] = jax.lax.psum(out["nodes_visited"], "data")
         out["total"] = jax.lax.psum(out["total"], "data")
         out["n_unique"] = jax.lax.psum(out["n_unique"], "data")
+        out["itv_started"] = jax.lax.psum(out["itv_started"], "data")
+        out["searches_started"] = jax.lax.psum(out["searches_started"],
+                                               "data")
         # keep per-shard arrays sharded; scalars replicated
         return out
 
     out_specs = dict(
         rid=P("data"), win_start=P("data"), final_rows=P("data"),
         valid=P("data"), total=P(), overflow=P(), nodes_visited=P(),
-        n_unique=P(),
+        n_unique=P(), itv_started=P(), searches_started=P(),
     )
     # check_vma=False: the frontier scan's initial carry is replicated (built
     # from the replicated index) and becomes shard-varying after one step;

@@ -109,15 +109,37 @@ def _pack_bits(bits: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return words, rank.astype(np.int32)
 
 
+def _minstd_uniform4(count: int) -> np.ndarray:
+    """First `count` draws of libstdc++ uniform_int_distribution(0,3) over
+    std::minstd_rand(42) — bit-exact with the reference's replacement RNG
+    (src/buildindex.cpp:86-96, 617-630). minstd: x <- x*48271 mod 2^31-1;
+    the distribution divides by scaling with rejection of the tail."""
+    out = np.empty(count, dtype=np.uint8)
+    x = 42
+    scaling = 2147483646 // 4
+    past = 4 * scaling
+    i = 0
+    while i < count:
+        x = (x * 48271) % 2147483647
+        ret = x - 1  # generator min() is 1
+        if ret < past:
+            out[i] = ret // scaling
+            i += 1
+    return out
+
+
 def preprocess_fasta(
-    fasta_paths: list[str], seed: int = 42
+    fasta_paths: list[str], seed: int = 42, seed_length: int = 100
 ) -> tuple[np.ndarray, list[str], np.ndarray]:
-    """Concatenate FASTA files, replace non-ACGT with seeded random bases.
+    """Concatenate FASTA files, replace non-ACGT with seeded bases.
 
     Returns (codes uint8 0..3, seq names, seq start offsets int64 with final
-    sentinel offset). Mirrors reference preprocessing
-    (src/buildindex.cpp:614-682) in spirit; the RNG differs, so byte-parity
-    runs must feed the *written-back* preprocessed FASTA to both aligners.
+    sentinel offset). Replacement is bit-exact with the reference default
+    (src/buildindex.cpp:614-650): a seed string of `seed_length` ACGT chars
+    is drawn from minstd_rand(42), and every maximal run of non-ACGT
+    characters cycles through it from its start (replaceNonACGTWithSeed
+    resets the seed index on each ACGT char). seed_length=0 falls back to a
+    numpy RNG (`seed`) — the reference's unseeded path is also random.
     """
     names: list[str] = []
     chunks: list[np.ndarray] = []
@@ -156,8 +178,19 @@ def preprocess_fasta(
     bad = codes > 3
     n_bad = int(bad.sum())
     if n_bad:
-        rng = np.random.default_rng(seed)
-        codes[bad] = rng.integers(0, 4, size=n_bad, dtype=np.int64).astype(np.uint8)
+        if seed_length > 0:
+            seed_codes = _minstd_uniform4(seed_length)
+            pos = np.nonzero(bad)[0]
+            is_start = np.ones(len(pos), bool)
+            is_start[1:] = np.diff(pos) > 1
+            start_of_run = np.where(is_start, pos, 0)
+            np.maximum.accumulate(start_of_run, out=start_of_run)
+            off = pos - start_of_run
+            codes[pos] = seed_codes[off % seed_length]
+        else:
+            rng = np.random.default_rng(seed)
+            codes[bad] = rng.integers(
+                0, 4, size=n_bad, dtype=np.int64).astype(np.uint8)
     return codes, names, np.array(starts, dtype=np.int64)
 
 
@@ -251,11 +284,13 @@ def build_index(
     seed: int = 42,
     sa_method: str = "auto",
     write_preprocessed_fasta: bool = False,
+    seed_length: int = 100,
 ) -> IndexArrays:
     """End-to-end: FASTA file(s) -> index arrays (optionally persisted)."""
     if isinstance(fasta_paths, str):
         fasta_paths = [fasta_paths]
-    codes, names, starts = preprocess_fasta(fasta_paths, seed=seed)
+    codes, names, starts = preprocess_fasta(fasta_paths, seed=seed,
+                                            seed_length=seed_length)
     idx = build_index_from_codes(
         codes, names, starts, sa_sparseness=sa_sparseness, sa_method=sa_method
     )
@@ -289,6 +324,37 @@ def save_index(idx: IndexArrays, out_dir: str) -> None:
     meta["seq_names"] = idx.seq_names
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
+
+
+def subsample_sa(idx: IndexArrays, sa_sparseness: int) -> IndexArrays:
+    """Derive a coarser SA sampling from a built index in place of a
+    rebuild: rows sampled at f generalize to any multiple F (SA[i] % F == 0
+    implies SA[i] % f == 0). The reference instead persists one file per
+    sparseness (-a, src/buildindex.cpp:1902-1918); a single fine sampling +
+    on-load subsample covers the same -s sweep from one build."""
+    f = int(idx.meta["sa_sparseness"])
+    F = int(sa_sparseness)
+    if F == f:
+        return idx
+    if F % f != 0:
+        raise ValueError(
+            f"requested sparseness {F} not a multiple of built {f}")
+    keep = (idx.sa_samples % F) == 0
+    big = idx.meta["n"] + 1
+    # rows whose bit is set, in order, correspond to sa_samples entries
+    words = idx.sa_bits.astype(np.uint32)
+    bits = ((words[:, None] >> np.arange(32, dtype=np.uint32)[None, :]) & 1
+            ).astype(bool).reshape(-1)[:big]
+    rows = np.nonzero(bits)[0]
+    new_bits = np.zeros(big, bool)
+    new_bits[rows[keep]] = True
+    sa_bits, sa_bits_rank = _pack_bits(new_bits)
+    meta = dict(idx.meta)
+    meta["sa_sparseness"] = F
+    from dataclasses import replace
+
+    return replace(idx, meta=meta, sa_samples=idx.sa_samples[keep],
+                   sa_bits=sa_bits, sa_bits_rank=sa_bits_rank)
 
 
 def load_index(out_dir: str) -> IndexArrays:

@@ -49,12 +49,14 @@ class FrontierResult:
     # (reference: src/indexinterface.cpp:340-375 goToInTextVerificationEdit)
     itv: jax.Array        # (M, 4) int32 rows [f_lo, f_hi, ids, back_depth]
     itv_count: jax.Array  # () int32 valid rows (clamped to M)
+    searches_started: jax.Array = 0  # () int32 searches entering the band
+                                     # phase (reference SEARCH_STARTED)
 
 
 jax.tree_util.register_dataclass(
     FrontierResult,
     data_fields=["ranges", "rid", "sid", "ed_lb", "done", "overflow",
-                 "nodes_visited", "itv", "itv_count"],
+                 "nodes_visited", "itv", "itv_count", "searches_started"],
     meta_fields=[],
 )
 
@@ -262,66 +264,63 @@ def run_scheme(
         return jnp.where(narrow[:, None], 0, ranges), itv_buf, itv_cnt
 
     # ---------------- exact prefix ----------------
-    # A lockstep while_loop over exact steps with per-step crossover drain
-    # and compaction: on real workloads ranges narrow below the switchpoint
-    # within a handful of post-seed characters, after which the whole batch
-    # exits the loop early instead of grinding E near-empty steps.
+    # A lockstep while_loop over exact steps with early exit once every
+    # lane has died or crossed over. Lanes are NOT compacted inside the
+    # loop — the loop body costs L lanes per step regardless, so per-step
+    # compaction (a scatter + full-state gather) would be pure overhead,
+    # and keeping lanes in place makes every table lookup a static
+    # precomputed (E, L) row slice. Crossover drains land in a lane-slot
+    # buffer (a where-select, no scatter); ONE compaction after the loop
+    # moves them into the in-text buffer.
     if E > 0:
         if dyn is None:
-            ex_pos_t = tables["ex_pos"]                       # (E, S)
-            ex_dir_t = tables["ex_dir"]
-            db_ex_t = jnp.asarray(sched.db_ex.T)              # (E, S)
-        est0 = jnp.concatenate([ranges0, ids0[:, None]], axis=1)
+            ex_pos_l = tables["ex_pos"][:, sid0]              # (E, L)
+            ex_dir_l = tables["ex_dir"][:, sid0]
+            db_ex_l = jnp.asarray(sched.db_ex.T)[:, sid0]
+        else:
+            ex_pos_l = dyn["ex_pos"].T                        # (E, L)
+            ex_dir_l = dyn["ex_dir"].T
+            db_ex_l = dyn["db_ex_steps"].T
+        # gate the crossover on matched depth: a segment shorter than
+        # ~20 chars is not specific (4^20 >> genome), so draining early
+        # floods locate/verify with junk windows
+        gate_t = max(0, itv_min_depth - kmer_eff - 1)
+        drain_rows0 = jnp.zeros((L, 4), jnp.int32)
 
         def ex_cond(c):
-            t, st = c[0], c[1]
-            return (t < E) & jnp.any(st[:, 1] > st[:, 0])
+            t, ranges = c[0], c[1]
+            return (t < E) & jnp.any(ranges[:, 1] > ranges[:, 0])
 
         def ex_body(c):
-            t, st, ib, ic = c
-            ranges = st[:, :rw]
-            ids = st[:, rw]
-            sid = ids % S
-            rid = ids // S
+            t, ranges, drows = c
             alive = ranges[:, 1] > ranges[:, 0]
-            if dyn is None:
-                pos = ex_pos_t[t][sid]
-                dr = ex_dir_t[t][sid]
-                dbt = db_ex_t[t][sid]
-            else:
-                pos = dyn["ex_pos"][ids, t]
-                dr = dyn["ex_dir"][ids, t]
-                dbt = dyn["db_ex_steps"][ids, t]
+            pos = ex_pos_l[t]
+            drc = ex_dir_l[t]
             act = (pos >= 0) & alive
-            chars = reads[rid, jnp.clip(pos, 0, m - 1)].astype(jnp.int32)
+            chars = reads[rid0, jnp.clip(pos, 0, m - 1)].astype(jnp.int32)
             new = extend.extend_char(
-                index, jnp.where(act[:, None], ranges, 0), chars, dr)
+                index, jnp.where(act[:, None], ranges, 0), chars, drc)
             new = jnp.where(act[:, None], new, ranges)
             new = jnp.where((new[:, 1] > new[:, 0])[:, None], new, 0)
             if switchpoint > 0:
-                # gate the crossover on matched depth: a segment shorter
-                # than ~20 chars is not specific (4^20 >> genome), so
-                # draining early floods locate/verify with junk windows
-                gate = t >= max(0, itv_min_depth - kmer_eff - 1)
-                new, ib, ic = drain(new, ids, dbt, ib, ic, allow=gate)
-            # compact live lanes to the front (drops dead + drained)
-            al = new[:, 1] > new[:, 0]
-            cpos = jnp.cumsum(al.astype(jnp.int32)) - 1
-            dst = jnp.where(al, cpos, L)
-            src = jnp.full((L + 1,), L, jnp.int32)
-            src = src.at[dst].set(jnp.arange(L, dtype=jnp.int32),
-                                  mode="drop")[:L]
-            lv = src < L
-            packed = jnp.concatenate([new, ids[:, None]], axis=1)
-            st2 = jnp.where(lv[:, None], packed[jnp.where(lv, src, 0)], 0)
-            return t + 1, st2, ib, ic
+                width = new[:, 1] - new[:, 0]
+                narrow = (width > 0) & (width <= switchpoint) & (t >= gate_t)
+                row = jnp.stack(
+                    [new[:, 0], new[:, 1], ids0, db_ex_l[t]], axis=1)
+                drows = jnp.where(narrow[:, None], row, drows)
+                new = jnp.where(narrow[:, None], 0, new)
+            return t + 1, new, drows
 
-        _, est, itv_buf0, itv_cnt0 = jax.lax.while_loop(
+        _, ranges0, drain_rows0 = jax.lax.while_loop(
             ex_cond, ex_body,
-            (jnp.zeros((), jnp.int32), est0, itv_buf0, itv_cnt0))
-        ranges0 = est[:, :rw]
-        ids0 = est[:, rw]
-        rid0, sid0 = ids0 // S, ids0 % S
+            (jnp.zeros((), jnp.int32), ranges0, drain_rows0))
+
+        if switchpoint > 0:
+            dvalid = drain_rows0[:, 1] > drain_rows0[:, 0]
+            npos = jnp.cumsum(dvalid.astype(jnp.int32)) - 1
+            dest = jnp.where(dvalid, jnp.minimum(npos, M), M)
+            itv_buf0 = itv_buf0.at[dest].set(drain_rows0, mode="drop")
+            itv_cnt0 = jnp.minimum(npos[-1] + 1, M)
 
     # ---------------- frontier init ----------------
     # Compact the R*S initial nodes into the C-lane frontier, dropping the
@@ -352,11 +351,11 @@ def run_scheme(
         shape = (C,) + (1,) * (out.ndim - 1)
         return jnp.where(live0.reshape(shape), out, jnp.asarray(fill, val.dtype))
 
-    # NOTE: gather per-lane init tables by lane IDENTITY (ids0), not array
-    # position — the exact-prefix loop compacts lanes out of the R*S layout.
+    # lanes stay in R*S layout through the exact loop, so per-lane init
+    # tables are positionally aligned
     if dyn is not None:
-        band_init = dyn["band_init"][ids0]
-        colmin_init = dyn["colmin_init"][ids0].reshape(L, 2, 1)
+        band_init = dyn["band_init"]
+        colmin_init = dyn["colmin_init"].reshape(L, 2, 1)
     else:
         band_init = jnp.asarray(sched.band_init, dtype=jnp.int8)[sid0]
         colmin_init = tables["colmin_init"][sid0].astype(jnp.int8)
@@ -627,4 +626,5 @@ def run_scheme(
         nodes_visited=visits0,
         itv=itv_buf0[:M],
         itv_count=itv_cnt0,
+        searches_started=n_alive0,
     )

@@ -62,6 +62,7 @@ def match_device_core(
     split_step: int = 0,
     capacity2: int = 0,
     max_verify: int | None = None,
+    itv_min_depth: int = 16,
 ):
     if max_verify is None:
         max_verify = max_locate
@@ -69,7 +70,8 @@ def match_device_core(
     shard_map'd multi-chip version)."""
     res = executor.run_scheme(index, reads, sched, capacity, kmer_table,
                               search_mask, dyn, switchpoint, itv_cap,
-                              split_step, capacity2)
+                              split_step, capacity2,
+                              itv_min_depth=itv_min_depth)
 
     # unified candidate list: completed frontier nodes + in-text-crossover
     # entries [f_lo, f_hi, ids, back_depth]
@@ -154,13 +156,16 @@ def match_device_core(
         n_unique=n_uniq,
         overflow=res.overflow,
         nodes_visited=res.nodes_visited,
+        itv_started=res.itv_count,
+        searches_started=res.searches_started,
     )
 
 
 _match_device = partial(
     jax.jit,
     static_argnames=("sched", "capacity", "max_locate", "kb", "switchpoint",
-                     "itv_cap", "split_step", "capacity2", "max_verify"),
+                     "itv_cap", "split_step", "capacity2", "max_verify",
+                     "itv_min_depth"),
 )(match_device_core)
 
 
@@ -356,6 +361,8 @@ def match_all(
         total_candidates=int(out["total"]),
         overflow=int(out["overflow"]),
         nodes_visited=int(out["nodes_visited"]),
+        itv_started=int(out["itv_started"]),
+        searches_started=int(out["searches_started"]),
         locate_truncated=bool(out["total"] > max_locate)
         or bool(out["n_unique"] > max_locate),
     )

@@ -103,7 +103,7 @@ def _scheme_for(cfg: MappingConfig, k: int):
 
 
 def map_batch_all(
-    index: FMIndex, reads: np.ndarray, cfg: MappingConfig
+    index: FMIndex, reads: np.ndarray, cfg: MappingConfig, counters=None
 ) -> list[MappedRead]:
     scheme = _scheme_for(cfg, cfg.max_distance)
     occs, stats = pipeline.match_all(
@@ -112,6 +112,8 @@ def map_batch_all(
         kmer_table=cfg.kmer_table, partitioning=cfg.partitioning,
         switchpoint=cfg.switchpoint,
     )
+    if counters is not None:
+        counters.add_device_stats(stats)
     out = [MappedRead() for _ in range(len(reads))]
     for o in occs:
         out[o.read_id].occs.append(o)
@@ -123,7 +125,7 @@ def map_batch_all(
 
 
 def map_batch_best(
-    index: FMIndex, reads: np.ndarray, cfg: MappingConfig
+    index: FMIndex, reads: np.ndarray, cfg: MappingConfig, counters=None
 ) -> list[MappedRead]:
     R, m = reads.shape
     supported = max_supported_k(cfg.scheme_name, m, cfg.metric)
@@ -135,12 +137,14 @@ def map_batch_best(
 
     def run_stratum(k: int):
         scheme = _scheme_for(cfg, k)
-        occs, _ = pipeline.match_all(
+        occs, stats = pipeline.match_all(
             index, reads, scheme, metric=cfg.metric,
             capacity=cfg.capacity, max_locate=cfg.max_locate,
             kmer_table=cfg.kmer_table, partitioning=cfg.partitioning,
             switchpoint=cfg.switchpoint,
         )
+        if counters is not None:
+            counters.add_device_stats(stats)
         for o in occs:
             collected[o.read_id].append(o)
             if o.distance < best[o.read_id]:

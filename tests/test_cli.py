@@ -81,3 +81,62 @@ def test_discordant_flag_plumbing(workload):
 
     # default matches the reference: no discordant pairing without -D
     assert paired.PairedConfig().discordant is False
+
+
+def test_seeded_replacement_matches_reference_rng():
+    """Replacement seed string is bit-exact with libstdc++
+    minstd_rand(42) + uniform_int_distribution(0,3) (verified against a
+    compiled C++ probe)."""
+    from columba_tpu.index.build import _minstd_uniform4
+
+    assert "".join(map(str, _minstd_uniform4(24))) == \
+        "021123220032103133221331"
+
+
+def test_seeded_replacement_runs_cycle(tmp_path):
+    from columba_tpu.core import alphabet
+    from columba_tpu.index.build import _minstd_uniform4, preprocess_fasta
+
+    fa = tmp_path / "n.fa"
+    fa.write_text(">c\nAANNNNNNCNNA\n")
+    codes, _, _ = preprocess_fasta([str(fa)], seed_length=100)
+    seed = _minstd_uniform4(100)
+    # each run restarts the seed cycle (replaceNonACGTWithSeed resets)
+    np.testing.assert_array_equal(codes[2:8], seed[:6])
+    np.testing.assert_array_equal(codes[9:11], seed[:2])
+    assert codes[8] == alphabet.encode("C")[0]
+
+
+def test_sa_subsample_equivalent(tmp_path):
+    """Aligning with -s F on a fine-sampled index = aligning on an index
+    built at F."""
+    from columba_tpu.index.build import build_index_from_codes, subsample_sa
+
+    rng = np.random.default_rng(2)
+    g = rng.integers(0, 4, 5000).astype(np.uint8)
+    fine = build_index_from_codes(g, sa_sparseness=1)
+    sub = subsample_sa(fine, 8)
+    direct = build_index_from_codes(g, sa_sparseness=8)
+    np.testing.assert_array_equal(sub.sa_samples, direct.sa_samples)
+    np.testing.assert_array_equal(sub.sa_bits, direct.sa_bits)
+    np.testing.assert_array_equal(sub.sa_bits_rank, direct.sa_bits_rank)
+
+
+def test_build_all_sparseness_and_align_s(tmp_path):
+    rng = np.random.default_rng(13)
+    seq = "".join(rng.choice(list("ACGT"), 20000))
+    fa = tmp_path / "g.fa"
+    fa.write_text(">c1\n" + seq + "\n")
+    lst = tmp_path / "fastas.txt"
+    lst.write_text(str(fa) + "\n")
+    idx = str(tmp_path / "i.cidx")
+    cli.main(["build", "-r", idx, "-F", str(lst), "-a"])
+    fq = tmp_path / "r.fq"
+    with open(fq, "w") as f:
+        for i in range(8):
+            p = int(rng.integers(0, 19000))
+            f.write(f"@r{i}\n{seq[p:p+100]}\n+\n{'I' * 100}\n")
+    out = str(tmp_path / "o.sam")
+    cli.main(["align", "-r", idx, "-f", str(fq), "-o", out, "-a", "all",
+              "-e", "0", "-s", "32"])
+    assert len(_body(out)) == 8

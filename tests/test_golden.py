@@ -36,7 +36,8 @@ def test_parity_smoke(tmp_path, spec):
     _run("positions", spec, str(tmp_path))
 
 
-def test_parity_smoke_paired(tmp_path):
-    _run("positions",
-         ["--mode", "best", "--metric", "edit", "--edits", "--paired"],
+@pytest.mark.parametrize("mode", ["best", "all"])
+def test_parity_smoke_paired(tmp_path, mode):
+    _run("cigar",
+         ["--mode", mode, "--metric", "edit", "--edits", "--paired"],
          str(tmp_path))
