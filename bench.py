@@ -83,8 +83,7 @@ def measure_tpu(arrays, reads) -> float:
     kmer_table = build_kmer_table(index)
     scheme = get_scheme("kuch1", K)
     sched = pipeline.compile_cached(scheme, READ_LEN, "edit", kmer_k=DEFAULT_K)
-    t_back = jnp.asarray(sched.t_back)
-    pivot = jnp.asarray(sched.pivot)
+    tables = pipeline.device_tables(sched)
     capacity = 4 * BATCH  # 2*BATCH rows x 3 searches x ~2/3 exact-prefix survival
     max_locate = 1 << 15
     max_verify = 12288
@@ -98,8 +97,8 @@ def measure_tpu(arrays, reads) -> float:
         return jnp.asarray(np.concatenate([b, rc]).astype(np.int32))
 
     step = jax.jit(
-        lambda idx, rd, kt: pipeline.match_device_core(
-            idx, rd, sched, t_back, pivot, capacity, max_locate, K, kt,
+        lambda idx, rd, kt, tbl: pipeline.match_device_core(
+            idx, rd, sched, tbl, capacity, max_locate, K, kt,
             None, None, switchpoint, max_locate, split_step, capacity2,
             max_verify,
         )
@@ -107,7 +106,7 @@ def measure_tpu(arrays, reads) -> float:
 
     # warmup / compile
     rows = batch_rows(reads[:BATCH])
-    out = step(index, rows, kmer_table)
+    out = step(index, rows, kmer_table, tables)
     jax.block_until_ready(out)
 
     n_done = 0
@@ -123,7 +122,7 @@ def measure_tpu(arrays, reads) -> float:
     last = None
     for off in range(BATCH, len(reads) - BATCH + 1, BATCH):
         rows = batch_rows(reads[off:off + BATCH])
-        last = step(index, rows, kmer_table)
+        last = step(index, rows, kmer_table, tables)
         outs.append((last["overflow"], last["total"], last["n_unique"]))
         n_done += BATCH
     jax.block_until_ready(last)

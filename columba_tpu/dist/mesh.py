@@ -53,15 +53,14 @@ def sharded_match(
     pipeline.match_device_core with per-shard outputs concatenated on axis 0
     and counters psum'd (replicated scalars).
     """
-    t_back = jnp.asarray(sched.t_back)
-    pivot = jnp.asarray(sched.pivot)
+    tables = pipeline.device_tables(sched)
     ndev = mesh.devices.size
     R = reads.shape[0]
     assert R % ndev == 0, f"batch {R} not divisible by {ndev} devices"
 
-    def local(idx, rd):
+    def local(idx, rd, tbl):
         out = pipeline.match_device_core(
-            idx, rd, sched, t_back, pivot,
+            idx, rd, sched, tbl,
             capacity_per_shard, max_locate_per_shard, kb,
         )
         # per-shard rid is local; globalize using the shard's position
@@ -87,11 +86,11 @@ def sharded_match(
     # the vma type-check rejects that even though it is semantically fine.
     fn = shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P("data")),
+        in_specs=(P(), P("data"), P()),
         out_specs=out_specs,
         check_vma=False,
     )
-    return jax.jit(fn)(index, reads)
+    return jax.jit(fn)(index, reads, tables)
 
 
 def sharded_match_jit(mesh, index, reads, scheme, m, metric="edit",

@@ -32,7 +32,8 @@ def _occ_dir(index: FMIndex, pos: jax.Array, dirs: jax.Array):
     # occ_all computes blk = pos >> 7 internally; shift pos by whole blocks.
     shifted = pos.astype(jnp.int32) + (blk_off << 7)
     raw = rank.occ_all(index.occ_fused, shifted)
-    dollar_row = index.dollar[dirs.astype(jnp.int32)]
+    # select, don't gather: tiny-table gathers by traced index are slow
+    dollar_row = jnp.where(dirs == 0, index.dollar[0], index.dollar[1])
     d = (dollar_row < pos).astype(jnp.int32)
     raw = raw.at[..., 0].add(-d)
     return raw, d
@@ -90,9 +91,10 @@ def extend_char(
         return bextend.extend_char(index, ranges, chars, dirs)
     all4 = extend_all(index, ranges, dirs)  # (..., 4, 4)
     safe = jnp.clip(chars, 0, 3).astype(jnp.int32)
-    child = jnp.take_along_axis(
-        all4, safe[..., None, None].astype(jnp.int32), axis=-2
-    )[..., 0, :]
+    # unrolled selects, not take_along_axis (slow fancy-index path on TPU)
+    child = all4[..., 0, :]
+    for c in range(1, 4):
+        child = jnp.where((safe == c)[..., None], all4[..., c, :], child)
     # N never matches: empty range
     bad = (chars > 3)[..., None]
     return jnp.where(bad, jnp.zeros_like(child), child)

@@ -18,7 +18,10 @@ import jax.numpy as jnp
 BLOCK = 128
 WPB = 8  # words per block
 
-_PAT = jnp.asarray([0x00000000, 0x55555555, 0xAAAAAAAA, 0xFFFFFFFF], dtype=jnp.uint32)
+# Python int literals, NOT a device array: a closure-captured jnp array
+# indexed in-trace becomes an XLA constant operand, and ANY fusion that
+# touches one falls off the fast-codegen path (~40x, measured on v5e).
+_PAT = (0x00000000, 0x55555555, 0xAAAAAAAA, 0xFFFFFFFF)
 
 
 def occ_all(fused: jax.Array, pos: jax.Array) -> jax.Array:
@@ -50,7 +53,7 @@ def occ_all(fused: jax.Array, pos: jax.Array) -> jax.Array:
     # count code c among masked 2-bit slots: both bits equal to pattern
     out = []
     for c in range(4):
-        x = wvals ^ _PAT[c]
+        x = wvals ^ jnp.uint32(_PAT[c])
         hits = (~x) & ((~x) >> 1) & jnp.uint32(0x55555555) & mask
         out.append(jnp.sum(jax.lax.population_count(hits), axis=-1).astype(jnp.int32))
     return base + jnp.stack(out, axis=-1)
@@ -71,7 +74,7 @@ def occ_all_and_char(fused: jax.Array, pos: jax.Array):
     )
     out = []
     for c in range(4):
-        x = wvals ^ _PAT[c]
+        x = wvals ^ jnp.uint32(_PAT[c])
         hits = (~x) & ((~x) >> 1) & jnp.uint32(0x55555555) & mask
         out.append(jnp.sum(jax.lax.population_count(hits), axis=-1).astype(jnp.int32))
     # decode char at pos: word index (pos>>4)&7, slot pos&15

@@ -61,14 +61,21 @@ jax.tree_util.register_dataclass(
 )
 
 
-def _dev_tables(sched: Schedule) -> dict:
-    """Schedule tables as device arrays, stacked for the step loop.
+def host_tables(sched: Schedule) -> dict:
+    """Schedule tables as NUMPY arrays, stacked for the step loop.
 
     Per-(search, step) scalars pack into one int32 meta word (bit 0: active;
     bit 1: side; bits 2-5: cacc register; bits 6-9: cfro register; bits
     10-17: ub; bits 18-29: back depth) plus the two packed colMin
     register-op words each of cops/cini, stacked as one (T, S, 5) array so
-    the loop body does a single dynamic row gather per step.
+    the loop body does a single dynamic row slice per step.
+
+    These MUST reach run_scheme as jit ARGUMENTS (pipeline device-puts and
+    caches them per schedule), never as in-trace constants: XLA:TPU compiles
+    any fusion that reads an embedded constant array (even one scalar of it)
+    to a ~40x slower codegen path (measured on v5e). The (S,)-shaped
+    per-search tables (u_last, t_back, pivot, final_reg) stay off this dict
+    entirely — consumers unroll them into literal-operand where-selects.
     """
     meta = (
         sched.active.astype(np.int32)
@@ -81,14 +88,35 @@ def _dev_tables(sched: Schedule) -> dict:
     mrow = np.stack(
         [meta.T, sched.cops[:, :, 0].T, sched.cops[:, :, 1].T,
          sched.cini[:, :, 0].T, sched.cini[:, :, 1].T], axis=-1)
+    # band cell codes with validity folded in: 0 = read pchars, -1 = no
+    # diag transition, -2 = cell outside the pattern
+    code = np.where(~sched.cvalid, np.int8(-2),
+                    np.where(~sched.mvalid, np.int8(-1), np.int8(0)))
     return dict(
-        mrow=jnp.asarray(mrow),                      # (T, S, 5) packed
-        ex_pos=jnp.asarray(sched.ex_pos.T),          # (E, S)
-        ex_dir=jnp.asarray(sched.ex_dir.T),          # (E, S)
-        u_last=jnp.asarray(sched.u_last),            # (S,)
-        colmin_init=jnp.asarray(sched.colmin_init),  # (S, 2, W)
-        final_reg=jnp.asarray(sched.final_reg),      # (S, 2)
+        mrow=np.ascontiguousarray(mrow),                   # (T, S, 5)
+        ex_pos=np.ascontiguousarray(sched.ex_pos.T),       # (E, S)
+        ex_dir=np.ascontiguousarray(sched.ex_dir.T),       # (E, S)
+        db_ex=np.ascontiguousarray(sched.db_ex.T),         # (E, S)
+        db_exact=sched.db_exact.astype(np.int32),          # (S,)
+        kmer_start=sched.kmer_start.astype(np.int32),      # (S,)
+        band_init=sched.band_init.astype(np.int8),         # (S, 2, BW)
+        colmin_init=sched.colmin_init.astype(np.int8),     # (S, 2, W)
+        posw=sched.posw.astype(np.int32),                  # (S, T, BW)
+        code=code.astype(np.int8),                         # (S, T, BW)
     )
+
+
+def select_by(key: jax.Array, values) -> jax.Array:
+    """values[key] for a tiny static table, as unrolled where-selects.
+
+    values: python sequence of literals OR a traced (S, ...) array with
+    small static S. Gathers from tiny tables fall off XLA:TPU's fast
+    gather path; S broadcast-selects are effectively free.
+    """
+    out = jnp.broadcast_to(jnp.asarray(values[0]), key.shape)
+    for s in range(1, len(values)):
+        out = jnp.where(key == s, jnp.asarray(values[s]), out)
+    return out
 
 
 def _band_row_update(prev, pchars, bw):
@@ -179,6 +207,7 @@ def run_scheme(
     split_step: int = 0,
     capacity2: int = 0,
     itv_min_depth: int = 20,
+    tables: dict | None = None,
 ) -> FrontierResult:
     """Execute one compiled scheme over a read batch.
 
@@ -192,7 +221,9 @@ def run_scheme(
     C = int(capacity)
     bw = sched.bw
     if dyn is None:
-        tables = _dev_tables(sched)
+        if tables is None:  # convenience for direct/test callers
+            tables = {kk: jnp.asarray(v)
+                      for kk, v in host_tables(sched).items()}
         T = sched.t_max
         E = sched.e_max
         W = int(getattr(sched, "W", 1))
@@ -200,8 +231,6 @@ def run_scheme(
         # parametric (per-read) schedule: see search/dynschedule.py
         # (single colMin register: dynamic partitioning clamps every part
         # to length > 2k, so windows never overlap)
-        tables = dict(u_last=dyn["u_last"],
-                      colmin_init=None)
         T = dyn["meta"].shape[1]
         E = dyn["ex_pos"].shape[1]
         W = 1
@@ -223,7 +252,7 @@ def run_scheme(
     elif sched.kmer_k > 0 and kmer_table is not None:
         from columba_tpu.index import kmer as kmer_mod
 
-        kstart = jnp.asarray(sched.kmer_start)[sid0]          # (R*S,)
+        kstart = jnp.tile(tables["kmer_start"], R)            # (R*S,)
         offs = jnp.arange(sched.kmer_k, dtype=jnp.int32)
         wpos = jnp.clip(kstart[:, None], 0, m - sched.kmer_k) + offs
         wchars = reads[rid0[:, None], wpos]
@@ -274,9 +303,11 @@ def run_scheme(
     # moves them into the in-text buffer.
     if E > 0:
         if dyn is None:
-            ex_pos_l = tables["ex_pos"][:, sid0]              # (E, L)
-            ex_dir_l = tables["ex_dir"][:, sid0]
-            db_ex_l = jnp.asarray(sched.db_ex.T)[:, sid0]
+            # lanes are rid-major (sid = lane % S): per-lane tables are
+            # tiles of the (E, S) args — a broadcast, never a gather
+            ex_pos_l = jnp.tile(tables["ex_pos"], (1, R))     # (E, L)
+            ex_dir_l = jnp.tile(tables["ex_dir"], (1, R))
+            db_ex_l = jnp.tile(tables["db_ex"], (1, R))
         else:
             ex_pos_l = dyn["ex_pos"].T                        # (E, L)
             ex_dir_l = dyn["ex_dir"].T
@@ -330,7 +361,7 @@ def run_scheme(
     # state): bands/colmin are int8 and rid/sid pack into one int32;
     # liveness is implicit (empty range = dead).
     if switchpoint > 0:
-        db_ex0 = (jnp.asarray(sched.db_exact)[sid0] if dyn is None
+        db_ex0 = (jnp.tile(tables["db_exact"], R) if dyn is None
                   else dyn["db_exact"][ids0])
         ranges0, itv_buf0, itv_cnt0 = drain(
             ranges0, ids0, db_ex0, itv_buf0, itv_cnt0)
@@ -357,8 +388,8 @@ def run_scheme(
         band_init = dyn["band_init"]
         colmin_init = dyn["colmin_init"].reshape(L, 2, 1)
     else:
-        band_init = jnp.asarray(sched.band_init, dtype=jnp.int8)[sid0]
-        colmin_init = tables["colmin_init"][sid0].astype(jnp.int8)
+        band_init = jnp.tile(tables["band_init"], (R, 1, 1))
+        colmin_init = jnp.tile(tables["colmin_init"], (R, 1, 1))
     state = _pack_state(
         take0(ranges0, 0),
         take0(ids0, 0),
@@ -376,11 +407,9 @@ def run_scheme(
         pchars_flat = dyn["pchars"]
         meta_flat = dyn["meta"].reshape(-1)                   # (R*S*T,)
     elif T > 0:
-        posw_all = jnp.asarray(sched.posw)                    # (S, T, BW)
+        posw_all = tables["posw"]                             # (S, T, BW)
         pchars_all = reads.astype(jnp.int8)[:, posw_all]      # (R, S, T, BW)
-        mv = jnp.asarray(sched.mvalid)
-        cv = jnp.asarray(sched.cvalid)
-        code = jnp.where(~cv, jnp.int8(-2), jnp.where(~mv, jnp.int8(-1), jnp.int8(0)))
+        code = tables["code"]                                 # (S, T, BW)
         pchars_all = jnp.where(code[None] == 0, pchars_all, code[None])
         pchars_flat = pchars_all.reshape(R * S * T, bw)
 
@@ -406,9 +435,14 @@ def run_scheme(
             ub = (meta >> 8) & 255
             dbv = (meta >> 16) & 4095
         else:
-            meta = meta_row[sid, 0]               # ONE per-lane table lookup
-            cops_w = [meta_row[sid, 1], meta_row[sid, 2]]
-            cini_w = [meta_row[sid, 3], meta_row[sid, 4]]
+            # unrolled selects over the S searches; a (S, 5) gather by a
+            # traced (C,) index would drop the whole step off the fast
+            # codegen path
+            meta = select_by(sid, meta_row[:, 0])
+            cops_w = [select_by(sid, meta_row[:, 1]),
+                      select_by(sid, meta_row[:, 2])]
+            cini_w = [select_by(sid, meta_row[:, 3]),
+                      select_by(sid, meta_row[:, 4])]
             cacc_l = (meta >> 2) & 15
             cfro_l = (meta >> 6) & 15
             ub = (meta >> 10) & 255
@@ -606,8 +640,10 @@ def run_scheme(
     Cf = ranges_f.shape[0]  # capacity2 when the two-stage shrink ran
     if dyn is not None:
         freg = jnp.zeros((Cf, 2), jnp.int32)
-    else:
-        freg = tables["final_reg"][sid_f]                     # (Cf, 2)
+    else:  # (S, 2) static literals -> per-lane via unrolled selects
+        freg = jnp.stack(
+            [select_by(sid_f, [int(v) for v in sched.final_reg[:, j]])
+             for j in range(2)], axis=1)
     cm_b_f = jnp.zeros((Cf,), jnp.int8)
     cm_f_f = jnp.zeros((Cf,), jnp.int8)
     for w_ in range(W):
@@ -615,7 +651,9 @@ def run_scheme(
         cm_f_f = jnp.where(freg[:, 1] == w_, colmin_f[:, 1, w_], cm_f_f)
     ed_lb = cm_b_f.astype(jnp.int32) + cm_f_f.astype(jnp.int32)
     alive_f = ranges_f[:, 1] > ranges_f[:, 0]
-    done = alive_f & (ed_lb <= tables["u_last"][sid_f])
+    u_src = (dyn["u_last"] if dyn is not None
+             else [int(v) for v in sched.u_last])
+    done = alive_f & (ed_lb <= select_by(sid_f, u_src))
     return FrontierResult(
         ranges=ranges_f,
         rid=ids_f // S,

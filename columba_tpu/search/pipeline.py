@@ -49,8 +49,7 @@ def match_device_core(
     index: FMIndex,
     reads: jax.Array,
     sched: schedule.Schedule,
-    t_back: jax.Array,
-    pivot: jax.Array,
+    tables: dict | None,
     capacity: int,
     max_locate: int,
     kb: int,
@@ -71,7 +70,7 @@ def match_device_core(
     res = executor.run_scheme(index, reads, sched, capacity, kmer_table,
                               search_mask, dyn, switchpoint, itv_cap,
                               split_step, capacity2,
-                              itv_min_depth=itv_min_depth)
+                              itv_min_depth=itv_min_depth, tables=tables)
 
     # unified candidate list: completed frontier nodes + in-text-crossover
     # entries [f_lo, f_hi, ids, back_depth]
@@ -84,7 +83,9 @@ def match_device_core(
         lane_fr = fr_rid * S + fr_sid
         fr_estb = dyn["t_back"][lane_fr] - dyn["pivot"][lane_fr]
     else:
-        fr_estb = t_back[fr_sid] - pivot[fr_sid]
+        fr_estb = executor.select_by(
+            fr_sid,
+            [int(t) - int(p) for t, p in zip(sched.t_back, sched.pivot)])
 
     itv_rows = res.itv
     iv_valid = jnp.arange(itv_rows.shape[0]) < res.itv_count
@@ -95,7 +96,8 @@ def match_device_core(
     if dyn is not None:
         iv_estb = itv_rows[:, 3] - dyn["pivot"][itv_rows[:, 2]]
     else:
-        iv_estb = itv_rows[:, 3] - pivot[iv_sid]
+        iv_estb = itv_rows[:, 3] - executor.select_by(
+            iv_sid, [int(p) for p in sched.pivot])
 
     c_lo = jnp.concatenate([fr_lo, iv_lo])
     c_hi = jnp.concatenate([fr_hi, iv_hi])
@@ -167,6 +169,22 @@ _match_device = partial(
                      "itv_cap", "split_step", "capacity2", "max_verify",
                      "itv_min_depth"),
 )(match_device_core)
+
+
+# Schedule tables must be jit ARGUMENTS (embedded constants poison XLA:TPU
+# codegen, see executor.host_tables); device-put once per schedule. Keyed by
+# id() with the schedule kept strongly referenced so ids can't be reused.
+_dev_tables_cache: dict = {}
+
+
+def device_tables(sched: schedule.Schedule) -> dict:
+    ent = _dev_tables_cache.get(id(sched))
+    if ent is None or ent[0] is not sched:
+        tbl = {kk: jnp.asarray(v)
+               for kk, v in executor.host_tables(sched).items()}
+        _dev_tables_cache[id(sched)] = (sched, tbl)
+        return tbl
+    return ent[1]
 
 
 # ---------------------------------------------------------------------------
@@ -338,8 +356,7 @@ def match_all(
             index,
             jnp.asarray(batch),
             sched,
-            jnp.asarray(sched.t_back),
-            jnp.asarray(sched.pivot),
+            device_tables(sched) if dyn is None else None,
             int(cap),
             int(max_locate),
             kb,

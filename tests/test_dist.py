@@ -35,8 +35,8 @@ def test_sharded_match_equals_single(small_index, rng):
     out_sh = {kk: np.asarray(v) for kk, v in out_sh.items()}
 
     out_1 = pipeline.match_device_core(
-        index, batch, sched, jnp.asarray(sched.t_back),
-        jnp.asarray(sched.pivot), 8 * 1024, 8 * 512, k,
+        index, batch, sched, pipeline.device_tables(sched),
+        8 * 1024, 8 * 512, k,
     )
     out_1 = {kk: np.asarray(v) for kk, v in out_1.items()}
 

@@ -58,8 +58,7 @@ def main():
     scheme = get_scheme("kuch1", bench.K)
     sched = pipeline.compile_cached(scheme, bench.READ_LEN, "edit",
                                     kmer_k=table_k(kmer_table))
-    t_back = jnp.asarray(sched.t_back)
-    pivot = jnp.asarray(sched.pivot)
+    tables = pipeline.device_tables(sched)
     B = bench.BATCH
     capacity = 4 * B
     max_locate = 1 << 15
@@ -71,17 +70,19 @@ def main():
         rc = alphabet.revcomp(b, axis=-1)
         return jnp.asarray(np.concatenate([b, rc]).astype(np.int32))
 
-    batches = [(index, batch_rows(reads[o:o + B]), kmer_table)
+    # tables must be passed as jit args, not closed over (closure arrays
+    # become XLA constants and poison codegen — see executor.host_tables)
+    batches = [(index, batch_rows(reads[o:o + B]), kmer_table, tables)
                for o in range(0, args.batches * B, B)]
 
-    def frontier_only(idx, rd, kt):
+    def frontier_only(idx, rd, kt, tbl):
         res = executor.run_scheme(idx, rd, sched, capacity, kt, None, None,
                                   switchpoint, max_locate, split_step,
-                                  capacity2)
+                                  capacity2, tables=tbl)
         return res.ranges, res.itv_count, res.overflow
 
-    full = lambda idx, rd, kt: pipeline.match_device_core(
-        idx, rd, sched, t_back, pivot, capacity, max_locate, bench.K, kt,
+    full = lambda idx, rd, kt, tbl: pipeline.match_device_core(
+        idx, rd, sched, tbl, capacity, max_locate, bench.K, kt,
         None, None, switchpoint, max_locate, split_step, capacity2,
         max_verify)
 
