@@ -18,15 +18,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timed(fn, *args, iters=20, warmup=2):
+    # block_until_ready returns EARLY on the remote-TPU (axon) path; the
+    # only real fence is a host VALUE fetch. Accumulate a scalar probe that
+    # data-depends on every iteration's output, fetch once at the end.
     import jax
+    import jax.numpy as jnp
 
+    def probe(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return jnp.ravel(leaf)[0].astype(jnp.float32)
+
+    tot = jnp.zeros((), jnp.float32)
     for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        tot = tot + probe(fn(*args))
+    float(tot)
+    tot = jnp.zeros((), jnp.float32)
     t0 = time.time()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        tot = tot + probe(fn(*args))
+    float(tot)
     return (time.time() - t0) / iters
 
 

@@ -21,18 +21,22 @@ import bench  # noqa: E402  (reuses the cached bench workload/index)
 
 
 def timed(fn, args_list, iters=3):
+    # block_until_ready returns EARLY on the remote-TPU (axon) path; fence
+    # with a host VALUE fetch that data-depends on every iteration instead.
     import jax
+    import jax.numpy as jnp
 
-    out = None
-    for a in args_list:  # warmup/compile on first batch
-        out = fn(*a)
-        break
-    jax.block_until_ready(out)
+    def probe(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return jnp.ravel(leaf)[0].astype(jnp.float32)
+
+    float(probe(fn(*args_list[0])))  # warmup/compile on first batch
+    tot = jnp.zeros((), jnp.float32)
     t0 = time.time()
     for _ in range(iters):
         for a in args_list:
-            out = fn(*a)
-        jax.block_until_ready(out)
+            tot = tot + probe(fn(*a))
+    float(tot)
     return (time.time() - t0) / (iters * len(args_list))
 
 
