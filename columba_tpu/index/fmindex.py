@@ -35,10 +35,13 @@ KMER_K = 10  # seed table k-mer size (reference default, src/definitions.h)
 class FMIndex:
     """Replicated device arrays of one index. A pytree of jnp arrays."""
 
-    occ_fused: jax.Array  # (2*blocks, 12) uint32: [4 ckpt | 8 BWT words]
-                          # fwd blocks then rev blocks — one 48B row gather
-                          # serves a full rank query (interleaved-rank9
-                          # analogue of reference src/bitvec.h:234-478)
+    occ_fused: jax.Array  # (2*blocks, 16) uint32: [4 ckpt | 8 BWT words |
+                          # 4 pad] — fwd blocks then rev blocks. One 64B row
+                          # gather serves a full rank query (interleaved-
+                          # rank9 analogue of reference src/bitvec.h:234-478).
+                          # Rows are PADDED 48->64B: XLA:TPU row gathers of
+                          # lane-aligned 64B rows are up to 4.6x faster than
+                          # 48B rows (measured, tools/gather_bench.py)
     counts: jax.Array     # (4,) int32 first SA row per char (A,C,G,T)
     dollar: jax.Array     # (2,) int32: '$' row in [fwd, rev] BWT
     text: jax.Array       # packed uint32 genome words (padded)
@@ -61,9 +64,9 @@ class FMIndex:
         text = np.concatenate([arrays.text, np.zeros(16, dtype=np.uint32)])
         occ_cat = np.concatenate([arrays.occ, arrays.rocc])
         words_cat = np.concatenate([arrays.bwt, arrays.rbwt]).reshape(-1, 8)
-        fused = np.empty((2 * blocks, 12), dtype=np.uint32)
+        fused = np.zeros((2 * blocks, 16), dtype=np.uint32)
         fused[:, :4] = occ_cat.astype(np.uint32)
-        fused[:, 4:] = words_cat
+        fused[:, 4:12] = words_cat
         return FMIndex(
             occ_fused=jnp.asarray(fused),
             counts=jnp.asarray(arrays.counts),

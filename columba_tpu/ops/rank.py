@@ -27,15 +27,15 @@ _PAT = (0x00000000, 0x55555555, 0xAAAAAAAA, 0xFFFFFFFF)
 def occ_all(fused: jax.Array, pos: jax.Array) -> jax.Array:
     """occ(c, pos) for c in A,C,G,T.
 
-    fused: (blocks, 12) uint32 interleaved rows [4 ckpt | 8 packed words]
-    (see index.fmindex) — ONE 48B row gather serves the whole query;
+    fused: (blocks, 16) uint32 interleaved rows [4 ckpt | 8 packed words |
+    4 pad] (see index.fmindex) — ONE 64B row gather serves the whole query;
     pos: (...,) int32 positions in [0, rows].
     Returns (..., 4) int32 counts of each code in words[0:pos) — counting the
     '$' slot as code 0 (callers subtract the dollar adjustment).
     """
     pos = pos.astype(jnp.int32)
     blk = pos >> 7
-    row = fused[blk]  # (..., 12) uint32
+    row = fused[blk]  # (..., 16) uint32
     base = row[..., :4].astype(jnp.int32)
     wvals = row[..., 4:12]
 

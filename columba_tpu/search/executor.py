@@ -308,10 +308,19 @@ def run_scheme(
             ex_pos_l = jnp.tile(tables["ex_pos"], (1, R))     # (E, L)
             ex_dir_l = jnp.tile(tables["ex_dir"], (1, R))
             db_ex_l = jnp.tile(tables["db_ex"], (1, R))
+            # pattern chars for every (step, lane), ONE vectorized gather
+            # up front (same trick as the band steps' pchars): the loop
+            # body then row-slices instead of element-gathering per step
+            ex_chars = jnp.transpose(
+                reads[:, jnp.clip(tables["ex_pos"], 0, m - 1)], (1, 0, 2)
+            ).reshape(E, L).astype(jnp.int32)                 # (E, L)
         else:
             ex_pos_l = dyn["ex_pos"].T                        # (E, L)
             ex_dir_l = dyn["ex_dir"].T
             db_ex_l = dyn["db_ex_steps"].T
+            ex_chars = reads[
+                rid0[:, None], jnp.clip(dyn["ex_pos"], 0, m - 1)
+            ].T.astype(jnp.int32)                             # (E, L)
         # gate the crossover on matched depth: a segment shorter than
         # ~20 chars is not specific (4^20 >> genome), so draining early
         # floods locate/verify with junk windows
@@ -328,7 +337,7 @@ def run_scheme(
             pos = ex_pos_l[t]
             drc = ex_dir_l[t]
             act = (pos >= 0) & alive
-            chars = reads[rid0, jnp.clip(pos, 0, m - 1)].astype(jnp.int32)
+            chars = ex_chars[t]
             new = extend.extend_char(
                 index, jnp.where(act[:, None], ranges, 0), chars, drc)
             new = jnp.where(act[:, None], new, ranges)

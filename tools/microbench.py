@@ -119,10 +119,10 @@ def main():
     batch = jnp.asarray(np.concatenate([reads_np, reads_np]))
     scheme = get_scheme("kuch1", 2)
     sched = pipeline.compile_cached(scheme, 100, "edit")
+    tables = pipeline.device_tables(sched)
     cap = batch.shape[0] * sched.num_searches
     f_full = jax.jit(lambda idx, rd: pipeline.match_device_core(
-        idx, rd, sched, jnp.asarray(sched.t_back), jnp.asarray(sched.pivot),
-        cap, 1 << 14, 2))
+        idx, rd, sched, tables, cap, 1 << 14, 2))
     dt = timed(f_full, index, batch, iters=3)
     print(f"full match:   {B/dt:8.1f} reads/s/chip (B={B}, cap={cap}, "
           f"T={sched.t_max})  {dt*1e3:.1f} ms/batch")
