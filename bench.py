@@ -58,13 +58,16 @@ def build_workload():
 def build_index_cached(genome):
     from columba_tpu.index.build import build_index_from_codes, load_index, save_index
 
-    idx_dir = os.path.join(CACHE_DIR, "idx.cidx")
+    # sa_sparseness=1 (dense SA): locate is a single gather instead of an
+    # LF-walk. 4B/char of HBM (~512MB here) is the TPU-first tradeoff; the
+    # reference exposes the same knob (columba_build -s 1).
+    idx_dir = os.path.join(CACHE_DIR, "idx_s1.cidx")
     if os.path.exists(os.path.join(idx_dir, "meta.json")):
         try:
             return load_index(idx_dir)
         except ValueError:
             pass
-    arrays = build_index_from_codes(genome)
+    arrays = build_index_from_codes(genome, sa_sparseness=1)
     save_index(arrays, idx_dir)
     return arrays
 
@@ -89,6 +92,10 @@ def measure_tpu(arrays, reads) -> float:
     max_verify = 12288
     switchpoint = 4       # in-text crossover (reference default)
     split_step, capacity2 = 2, max(1024, capacity // 16)
+    # two-stage exact loop off: the exact while_loop's all-dead early exit
+    # already ends the loop by mid-depth on this workload, so mid-loop
+    # compaction only adds overhead (measured, tools/ab_exact.py)
+    ex_split, ex_cap = 0, 0
 
     # Feed path: 2-bit-pack reads on host (4 codes/byte; the remote-TPU
     # tunnel is ~1.3 GB/s with a ~0.3 ms/put floor), stage the WHOLE packed
@@ -117,7 +124,7 @@ def measure_tpu(arrays, reads) -> float:
         return pipeline.match_device_core(
             idx, rows, sched, tbl, capacity, max_locate, K, kt,
             None, None, switchpoint, max_locate, split_step, capacity2,
-            max_verify,
+            max_verify, ex_split=ex_split, ex_cap=ex_cap,
         )
 
     step = jax.jit(_step)

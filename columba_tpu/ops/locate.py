@@ -35,6 +35,11 @@ def locate_rows(index, rows: jax.Array) -> jax.Array:
 
         return blocate.locate_rows(index, rows)
     f = index.sa_sparseness
+    if f == 1:
+        # dense SA: sa_samples IS the suffix array in row order — locate is
+        # one gather, no LF-walk (the TPU-first memory/speed point: 4B/char
+        # of HBM buys back ~(f-1) chained gathers per candidate)
+        return index.sa_samples[rows]
     steps = jnp.zeros_like(rows)
     cur = rows
 

@@ -208,6 +208,8 @@ def run_scheme(
     capacity2: int = 0,
     itv_min_depth: int = 20,
     tables: dict | None = None,
+    ex_split: int = 0,
+    ex_cap: int = 0,
 ) -> FrontierResult:
     """Execute one compiled scheme over a read batch.
 
@@ -215,6 +217,11 @@ def run_scheme(
     capacity: frontier size C (must be >= R * num_searches).
     kmer_table: optional (4^K, 4) seed table (index.kmer) matching the
     schedule's kmer_k; seeds the exact-prefix ranges with one gather.
+    ex_split/ex_cap: two-stage exact loop — after `ex_split` steps the
+    surviving lanes are compacted into `ex_cap` lanes (overflow-counted)
+    for the remaining steps. By then nearly every lane has died (errors)
+    or drained to the in-text buffer (narrow clean segments), so the tail
+    of the exact prefix runs at a fraction of the full lane count.
     """
     R, m = reads.shape
     S = sched.num_searches
@@ -301,6 +308,7 @@ def run_scheme(
     # precomputed (E, L) row slice. Crossover drains land in a lane-slot
     # buffer (a where-select, no scatter); ONE compaction after the loop
     # moves them into the in-text buffer.
+    overflow_ex = jnp.zeros((), jnp.int32)
     if E > 0:
         if dyn is None:
             # lanes are rid-major (sid = lane % S): per-lane tables are
@@ -327,33 +335,81 @@ def run_scheme(
         gate_t = max(0, itv_min_depth - kmer_eff - 1)
         drain_rows0 = jnp.zeros((L, 4), jnp.int32)
 
-        def ex_cond(c):
-            t, ranges = c[0], c[1]
-            return (t < E) & jnp.any(ranges[:, 1] > ranges[:, 0])
+        def make_ex(pos_tab, dir_tab, db_tab, chars_tab, ids_vec, t_off,
+                    t_hi):
+            def ex_cond(c):
+                t, ranges = c[0], c[1]
+                return (t < t_hi) & jnp.any(ranges[:, 1] > ranges[:, 0])
 
-        def ex_body(c):
-            t, ranges, drows = c
-            alive = ranges[:, 1] > ranges[:, 0]
-            pos = ex_pos_l[t]
-            drc = ex_dir_l[t]
-            act = (pos >= 0) & alive
-            chars = ex_chars[t]
-            new = extend.extend_char(
-                index, jnp.where(act[:, None], ranges, 0), chars, drc)
-            new = jnp.where(act[:, None], new, ranges)
-            new = jnp.where((new[:, 1] > new[:, 0])[:, None], new, 0)
-            if switchpoint > 0:
-                width = new[:, 1] - new[:, 0]
-                narrow = (width > 0) & (width <= switchpoint) & (t >= gate_t)
-                row = jnp.stack(
-                    [new[:, 0], new[:, 1], ids0, db_ex_l[t]], axis=1)
-                drows = jnp.where(narrow[:, None], row, drows)
-                new = jnp.where(narrow[:, None], 0, new)
-            return t + 1, new, drows
+            def ex_body(c):
+                t, ranges, drows = c
+                alive = ranges[:, 1] > ranges[:, 0]
+                pos = pos_tab[t]
+                drc = dir_tab[t]
+                act = (pos >= 0) & alive
+                chars = chars_tab[t]
+                new = extend.extend_char(
+                    index, jnp.where(act[:, None], ranges, 0), chars, drc)
+                new = jnp.where(act[:, None], new, ranges)
+                new = jnp.where((new[:, 1] > new[:, 0])[:, None], new, 0)
+                if switchpoint > 0:
+                    width = new[:, 1] - new[:, 0]
+                    narrow = ((width > 0) & (width <= switchpoint)
+                              & (t + t_off >= gate_t))
+                    row = jnp.stack(
+                        [new[:, 0], new[:, 1], ids_vec, db_tab[t]], axis=1)
+                    drows = jnp.where(narrow[:, None], row, drows)
+                    new = jnp.where(narrow[:, None], 0, new)
+                return t + 1, new, drows
 
-        _, ranges0, drain_rows0 = jax.lax.while_loop(
-            ex_cond, ex_body,
-            (jnp.zeros((), jnp.int32), ranges0, drain_rows0))
+            return ex_cond, ex_body
+
+
+        if 0 < ex_split < E and 0 < ex_cap < L:
+            # stage 1 at full lane count
+            c1, b1 = make_ex(ex_pos_l, ex_dir_l, db_ex_l, ex_chars, ids0,
+                             0, ex_split)
+            _, ranges0, drain_rows0 = jax.lax.while_loop(
+                c1, b1, (jnp.zeros((), jnp.int32), ranges0, drain_rows0))
+
+            # compact survivors into ex_cap lanes (4-byte src scatter + row
+            # gathers; all per-lane step tables re-gathered once, not per
+            # step)
+            EC = int(ex_cap)
+            alive1 = ranges0[:, 1] > ranges0[:, 0]
+            pos1 = jnp.cumsum(alive1.astype(jnp.int32)) - 1
+            overflow_ex = jnp.maximum(pos1[-1] + 1 - EC, 0)
+            dest1 = jnp.where(alive1, jnp.minimum(pos1, EC), EC)
+            src1 = jnp.full((EC + 1,), L, jnp.int32)
+            src1 = src1.at[dest1].set(jnp.arange(L, dtype=jnp.int32),
+                                      mode="drop")[:EC]
+            live1 = src1 < L
+            srcc1 = jnp.where(live1, src1, 0)
+            r2 = jnp.where(live1[:, None], ranges0[srcc1], 0)
+            ids2 = ids0[srcc1]
+            chars2 = ex_chars[ex_split:, srcc1]
+            pos2t = ex_pos_l[ex_split:, srcc1]
+            dir2t = ex_dir_l[ex_split:, srcc1]
+            db2t = db_ex_l[ex_split:, srcc1]
+            drows2 = jnp.zeros((EC, 4), jnp.int32)
+
+            c2, b2 = make_ex(pos2t, dir2t, db2t, chars2, ids2, ex_split,
+                             E - ex_split)
+            _, r2, drows2 = jax.lax.while_loop(
+                c2, b2, (jnp.zeros((), jnp.int32), r2, drows2))
+
+            # scatter stage-2 state back into full-L lane layout (surviving
+            # stage-1 lanes had no drain row, so the drain scatter cannot
+            # clobber one)
+            back = jnp.where(live1, srcc1, L)
+            ranges0 = jnp.zeros((L, 4), jnp.int32).at[back].set(
+                r2, mode="drop")
+            drain_rows0 = drain_rows0.at[back].set(drows2, mode="drop")
+        else:
+            c1, b1 = make_ex(ex_pos_l, ex_dir_l, db_ex_l, ex_chars, ids0,
+                             0, E)
+            _, ranges0, drain_rows0 = jax.lax.while_loop(
+                c1, b1, (jnp.zeros((), jnp.int32), ranges0, drain_rows0))
 
         if switchpoint > 0:
             dvalid = drain_rows0[:, 1] > drain_rows0[:, 0]
@@ -379,7 +435,7 @@ def run_scheme(
     pos0 = jnp.cumsum(alive0.astype(jnp.int32)) - 1
     dest0 = jnp.where(alive0, jnp.where(pos0 >= C, C, pos0), C)
     n_alive0 = pos0[-1] + 1
-    overflow0 = jnp.maximum(n_alive0 - C, 0)
+    overflow0 = jnp.maximum(n_alive0 - C, 0) + overflow_ex
     src0 = jnp.full((C + 1,), R * S, jnp.int32)
     src0 = src0.at[dest0].set(jnp.arange(R * S, dtype=jnp.int32),
                               mode="drop")[:C]

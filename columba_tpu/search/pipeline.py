@@ -45,35 +45,9 @@ class Occurrence:
 # Device side
 # ---------------------------------------------------------------------------
 
-def match_device_core(
-    index: FMIndex,
-    reads: jax.Array,
-    sched: schedule.Schedule,
-    tables: dict | None,
-    capacity: int,
-    max_locate: int,
-    kb: int,
-    kmer_table: jax.Array | None = None,
-    search_mask: jax.Array | None = None,
-    dyn: dict | None = None,
-    switchpoint: int = 0,
-    itv_cap: int = 0,
-    split_step: int = 0,
-    capacity2: int = 0,
-    max_verify: int | None = None,
-    itv_min_depth: int = 16,
-):
-    if max_verify is None:
-        max_verify = max_locate
-    """Device-side match step (unjitted; see also dist.mesh for the
-    shard_map'd multi-chip version)."""
-    res = executor.run_scheme(index, reads, sched, capacity, kmer_table,
-                              search_mask, dyn, switchpoint, itv_cap,
-                              split_step, capacity2,
-                              itv_min_depth=itv_min_depth, tables=tables)
-
-    # unified candidate list: completed frontier nodes + in-text-crossover
-    # entries [f_lo, f_hi, ids, back_depth]
+def stage_candidates(res, sched, dyn):
+    """Unified candidate list: completed frontier nodes + in-text-crossover
+    entries [f_lo, f_hi, ids, back_depth] -> (c_lo, c_hi, c_rid, c_estb)."""
     S = sched.num_searches
     fr_lo = jnp.where(res.done, res.ranges[:, 0], 0)
     fr_hi = jnp.where(res.done, res.ranges[:, 1], 0)
@@ -103,8 +77,13 @@ def match_device_core(
     c_hi = jnp.concatenate([fr_hi, iv_hi])
     c_rid = jnp.concatenate([fr_rid, iv_rid])
     c_estb = jnp.concatenate([fr_estb, iv_estb])
+    return c_lo, c_hi, c_rid, c_estb
 
-    # two-phase expansion: candidate ranges -> flat rows (cap max_locate)
+
+def stage_expand(c_lo, c_hi, max_locate: int):
+    """Two-phase expansion: candidate ranges -> flat rows (cap max_locate).
+
+    Returns (rows, cand, valid, total)."""
     widths = jnp.maximum(c_hi - c_lo, 0)
     offsets = jnp.cumsum(widths)
     total = offsets[-1]
@@ -114,16 +93,16 @@ def match_device_core(
     base = offsets[cand] - widths[cand]
     valid = j < jnp.minimum(total, max_locate)
     rows = jnp.where(valid, c_lo[cand] + (j - base), 0)
+    return rows, cand, valid, total
 
-    pos = locate.locate_rows(index, rows)
-    est = pos + c_estb[cand]
-    win_start = est - kb
-    rid = c_rid[cand]
 
-    # dedup (read, window) pairs before the banded verification: different
-    # searches (and the in-text crossover) rediscover the same region many
-    # times over (the reference dedups FM-occurrences the same way,
-    # src/indexinterface.cpp:1381 eraseDoublesFM)
+def stage_dedup(rid, win_start, valid, max_locate: int, max_verify: int):
+    """Dedup (read, window) pairs before the banded verification: different
+    searches (and the in-text crossover) rediscover the same region many
+    times over (the reference dedups FM-occurrences the same way,
+    src/indexinterface.cpp:1381 eraseDoublesFM).
+
+    Returns (rid_v, win_v, vlive, n_uniq)."""
     L = max_locate
     big = jnp.int32(1 << 30)
     rid_m = jnp.where(valid, rid, big)
@@ -146,6 +125,49 @@ def match_device_core(
     srcc = jnp.where(vlive, src, 0)
     rid_v = jnp.where(vlive, rid_s[srcc], 0)
     win_v = jnp.where(vlive, win_s[srcc], 0)
+    return rid_v, win_v, vlive, n_uniq
+
+
+def match_device_core(
+    index: FMIndex,
+    reads: jax.Array,
+    sched: schedule.Schedule,
+    tables: dict | None,
+    capacity: int,
+    max_locate: int,
+    kb: int,
+    kmer_table: jax.Array | None = None,
+    search_mask: jax.Array | None = None,
+    dyn: dict | None = None,
+    switchpoint: int = 0,
+    itv_cap: int = 0,
+    split_step: int = 0,
+    capacity2: int = 0,
+    max_verify: int | None = None,
+    itv_min_depth: int = 16,
+    ex_split: int = 0,
+    ex_cap: int = 0,
+):
+    if max_verify is None:
+        max_verify = max_locate
+    """Device-side match step (unjitted; see also dist.mesh for the
+    shard_map'd multi-chip version)."""
+    res = executor.run_scheme(index, reads, sched, capacity, kmer_table,
+                              search_mask, dyn, switchpoint, itv_cap,
+                              split_step, capacity2,
+                              itv_min_depth=itv_min_depth, tables=tables,
+                              ex_split=ex_split, ex_cap=ex_cap)
+
+    c_lo, c_hi, c_rid, c_estb = stage_candidates(res, sched, dyn)
+    rows, cand, valid, total = stage_expand(c_lo, c_hi, max_locate)
+
+    pos = locate.locate_rows(index, rows)
+    est = pos + c_estb[cand]
+    win_start = est - kb
+    rid = c_rid[cand]
+
+    rid_v, win_v, vlive, n_uniq = stage_dedup(
+        rid, win_start, valid, max_locate, max_verify)
 
     final_rows = verify.verify_window(index, reads, rid_v, win_v, kb)
 
@@ -167,7 +189,7 @@ _match_device = partial(
     jax.jit,
     static_argnames=("sched", "capacity", "max_locate", "kb", "switchpoint",
                      "itv_cap", "split_step", "capacity2", "max_verify",
-                     "itv_min_depth"),
+                     "itv_min_depth", "ex_split", "ex_cap"),
 )(match_device_core)
 
 
@@ -284,6 +306,8 @@ def match_all(
     partitioning: str = "uniform",
     partition_pts=None,
     switchpoint: int = 0,
+    ex_split: int = 0,
+    ex_cap: int = 0,
 ) -> tuple[list[Occurrence], dict]:
     """ALL-mode matching of a read batch: every occurrence with ed <= k.
 
@@ -367,6 +391,8 @@ def match_all(
             itv_cap,
             split_step,
             cap2,
+            ex_split=int(ex_split),
+            ex_cap=int(ex_cap),
         )
         return {kk: np.asarray(v) for kk, v in out.items()}
 

@@ -343,3 +343,23 @@ def test_edit_all_short_parts_vs_brute(fm, rng, name, k, m):
     spurious = got - expect
     assert not missing, f"lost occurrences: {sorted(missing)[:10]}"
     assert not spurious, f"spurious occurrences: {sorted(spurious)[:10]}"
+
+
+@pytest.mark.parametrize("partitioning", ["uniform", "dynamic"])
+def test_two_stage_exact_loop_equivalence(fm, rng, partitioning):
+    """ex_split/ex_cap (mid-exact-prefix lane compaction) must report the
+    same occurrence set as the single-stage loop."""
+    genome, index = fm
+    m, k = 90, 2
+    reads = sample_reads(rng, genome, num=12, length=m, max_err=k, edits=True)
+    kw = dict(metric="edit", redundancy_filter=False,
+              partitioning=partitioning, switchpoint=4)
+    base, _ = pipeline.match_all(index, reads, get_scheme("kuch1", k), **kw)
+    # without a k-mer table nearly every lane is still alive at shallow
+    # depth (short segments match everywhere), so split late enough that
+    # junk lanes have died (depth 12: 4^12 >> |genome|)
+    split, stats = pipeline.match_all(
+        index, reads, get_scheme("kuch1", k), ex_split=12, ex_cap=48, **kw)
+    key = lambda os: {(o.read_id, o.strand, o.end, o.distance) for o in os}
+    assert stats["overflow"] == 0
+    assert key(base) == key(split)
