@@ -81,11 +81,15 @@ def measure_tpu(arrays, reads) -> float:
     from columba_tpu.search.scheme import get_scheme
 
     index = FMIndex.from_arrays(arrays)
-    from columba_tpu.index.kmer import DEFAULT_K, build_kmer_table
+    from columba_tpu.index.kmer import build_kmer_table, table_k
 
-    kmer_table = build_kmer_table(index)
+    # K=12 seed table (256MB HBM): junk lanes die ~2 steps after the seed
+    # and the drain gate opens at depth 16-12-1=3, so the exact loop's
+    # early exit fires ~3 steps sooner than with the reference's K=10
+    kmer_table = build_kmer_table(index, 12)
     scheme = get_scheme("kuch1", K)
-    sched = pipeline.compile_cached(scheme, READ_LEN, "edit", kmer_k=DEFAULT_K)
+    sched = pipeline.compile_cached(scheme, READ_LEN, "edit",
+                                kmer_k=table_k(kmer_table))
     tables = pipeline.device_tables(sched)
     capacity = 4 * BATCH  # 2*BATCH rows x 3 searches x ~2/3 exact-prefix survival
     max_locate = 1 << 15

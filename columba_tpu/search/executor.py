@@ -259,14 +259,23 @@ def run_scheme(
     elif sched.kmer_k > 0 and kmer_table is not None:
         from columba_tpu.index import kmer as kmer_mod
 
-        kstart = jnp.tile(tables["kmer_start"], R)            # (R*S,)
-        offs = jnp.arange(sched.kmer_k, dtype=jnp.int32)
-        wpos = jnp.clip(kstart[:, None], 0, m - sched.kmer_k) + offs
-        wchars = reads[rid0[:, None], wpos]
-        seeded = kmer_mod.lookup(kmer_table, wchars)          # (R*S, 4)
-        ranges0 = jnp.where(
-            (kstart >= 0)[:, None], seeded, index.full_range((R * S,))
-        )
+        # per-search seed windows are STATIC column ranges of the read
+        # (kmer_start is compile-time): slice, pack, and gather per search
+        # — no element gather over (L, K) window positions
+        Kk = sched.kmer_k
+        full1 = index.full_range((R,))
+        col_ranges = []
+        for s in range(S):
+            ks = int(sched.kmer_start[s])
+            if ks < 0:
+                col_ranges.append(full1)
+            else:
+                code = kmer_mod.pack_codes(reads[:, ks:ks + Kk])  # (R,)
+                safe = jnp.clip(code, 0, kmer_table.shape[0] - 1)
+                got = kmer_table[safe]                            # (R, 4)
+                col_ranges.append(
+                    jnp.where((code >= 0)[:, None], got, 0))
+        ranges0 = jnp.stack(col_ranges, axis=1).reshape(R * S, 4)
     else:
         assert sched.kmer_k == 0, "schedule compiled with kmer seeding but no table given"
         ranges0 = index.full_range((R * S,))
@@ -316,12 +325,27 @@ def run_scheme(
             ex_pos_l = jnp.tile(tables["ex_pos"], (1, R))     # (E, L)
             ex_dir_l = jnp.tile(tables["ex_dir"], (1, R))
             db_ex_l = jnp.tile(tables["db_ex"], (1, R))
-            # pattern chars for every (step, lane), ONE vectorized gather
-            # up front (same trick as the band steps' pchars): the loop
-            # body then row-slices instead of element-gathering per step
-            ex_chars = jnp.transpose(
-                reads[:, jnp.clip(tables["ex_pos"], 0, m - 1)], (1, 0, 2)
-            ).reshape(E, L).astype(jnp.int32)                 # (E, L)
+            # pattern chars for every (step, lane), built up front so the
+            # loop body row-slices instead of element-gathering per step.
+            # sched.ex_pos is compile-time, so each (step, search) char
+            # vector is a STATIC read column — stacked slices, no gather
+            # (guarded by a size cap: huge schedules fall back to one
+            # vectorized gather to bound compile time)
+            exp_np = np.asarray(sched.ex_pos)                 # (S, E)
+            if E * S <= 512:
+                zero_col = jnp.zeros((R,), reads.dtype)
+                steps_cols = []
+                for e in range(E):
+                    row = [reads[:, int(exp_np[s, e])]
+                           if int(exp_np[s, e]) >= 0 else zero_col
+                           for s in range(S)]
+                    steps_cols.append(jnp.stack(row, axis=1))  # (R, S)
+                ex_chars = jnp.stack(steps_cols, axis=0).reshape(
+                    E, L).astype(jnp.int32)                   # (E, L)
+            else:
+                ex_chars = jnp.transpose(
+                    reads[:, jnp.clip(tables["ex_pos"], 0, m - 1)], (1, 0, 2)
+                ).reshape(E, L).astype(jnp.int32)             # (E, L)
         else:
             ex_pos_l = dyn["ex_pos"].T                        # (E, L)
             ex_dir_l = dyn["ex_dir"].T
