@@ -56,8 +56,18 @@ def extend_all(index, ranges: jax.Array, dirs: jax.Array) -> jax.Array:
     a_hi = jnp.where(bwd, f_hi, r_hi)
     b_lo = jnp.where(bwd, r_lo, f_lo)
 
-    occ_lo, d_lo = _occ_dir(index, a_lo, dirs)
-    occ_hi, d_hi = _occ_dir(index, a_hi, dirs)
+    # ONE fused gather for both interval endpoints: a single 2L-row gather
+    # runs at a higher rows/s than two L-row gathers (issue-rate-bound,
+    # tools/gather_bench.py)
+    lead = a_lo.shape
+    pos2 = jnp.concatenate([a_lo.reshape(-1), a_hi.reshape(-1)])
+    dirs2 = jnp.concatenate([jnp.broadcast_to(dirs, lead).reshape(-1)] * 2)
+    occ2, d2 = _occ_dir(index, pos2, dirs2)
+    half = pos2.shape[0] // 2
+    occ_lo = occ2[:half].reshape(*lead, 4)
+    occ_hi = occ2[half:].reshape(*lead, 4)
+    d_lo = d2[:half].reshape(lead)
+    d_hi = d2[half:].reshape(lead)
 
     counts = index.counts  # (4,)
     new_a_lo = counts + occ_lo          # (..., 4)
