@@ -270,11 +270,8 @@ def run_scheme(
             if ks < 0:
                 col_ranges.append(full1)
             else:
-                code = kmer_mod.pack_codes(reads[:, ks:ks + Kk])  # (R,)
-                safe = jnp.clip(code, 0, kmer_table.shape[0] - 1)
-                got = kmer_table[safe]                            # (R, 4)
                 col_ranges.append(
-                    jnp.where((code >= 0)[:, None], got, 0))
+                    kmer_mod.lookup(kmer_table, reads[:, ks:ks + Kk]))
         ranges0 = jnp.stack(col_ranges, axis=1).reshape(R * S, 4)
     else:
         assert sched.kmer_k == 0, "schedule compiled with kmer seeding but no table given"

@@ -374,7 +374,7 @@ def match_all(
     # the 4x retry below, which scales both capacities
     split_step = 2 if switchpoint > 0 else 0
 
-    def run(cap):
+    def run(cap, ecap):
         cap2 = max(1024, cap // 16) if switchpoint > 0 else 0
         out = _match_device(
             index,
@@ -392,14 +392,15 @@ def match_all(
             split_step,
             cap2,
             ex_split=int(ex_split),
-            ex_cap=int(ex_cap),
+            ex_cap=int(ecap),
         )
         return {kk: np.asarray(v) for kk, v in out.items()}
 
-    out = run(capacity)
+    out = run(capacity, ex_cap)
     if auto_capacity and int(out["overflow"]) > 0:
-        # frontier overflowed (losslessness at risk): retry once, 4x larger
-        out = run(capacity * 4)
+        # frontier (or mid-exact compaction) overflowed — losslessness at
+        # risk: retry once with BOTH capacities 4x larger
+        out = run(capacity * 4, ex_cap * 4)
     stats = dict(
         total_candidates=int(out["total"]),
         overflow=int(out["overflow"]),

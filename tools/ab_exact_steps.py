@@ -16,23 +16,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench  # noqa: E402
-
-
-def timed(fn, args, iters=6):
-    import jax
-    import jax.numpy as jnp
-
-    def probe(out):
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        return jnp.ravel(leaf)[0].astype(jnp.float32)
-
-    float(probe(fn(*args)))
-    tot = jnp.zeros((), jnp.float32)
-    t0 = time.time()
-    for _ in range(iters):
-        tot = tot + probe(fn(*args))
-    float(tot)
-    return (time.time() - t0) / iters
+from tools._bench_util import timed  # noqa: E402
 
 
 def main():
@@ -96,7 +80,7 @@ def main():
 
     # 1) seed-only baseline
     f0 = jax.jit(lambda rd_, tb: seed(rd_, tb))
-    t0 = timed(f0, (rd, tbl))
+    t0 = timed(f0, rd, tbl)
     print(f"seed only:             {t0*1e3:8.2f} ms")
 
     # 2) fori_loop, fixed trip counts
@@ -106,7 +90,7 @@ def main():
             pl_, dl_, cl_ = prep(rd_, tb)
             return jax.lax.fori_loop(0, nsteps, body_of(index, pl_, dl_, cl_),
                                      r0)
-        t = timed(jax.jit(f), (rd, tbl))
+        t = timed(jax.jit(f), rd, tbl)
         print(f"fori {nsteps:2d} steps:        {t*1e3:8.2f} ms "
               f"({(t-t0)/nsteps*1e3:6.2f} ms/step)")
 
@@ -127,7 +111,7 @@ def main():
         t_, r_ = jax.lax.while_loop(cond, body, (jnp.zeros((), jnp.int32), r0))
         return r_, t_
     fwj = jax.jit(fw)
-    t = timed(fwj, (rd, tbl))
+    t = timed(fwj, rd, tbl)
     exit_t = int(fwj(rd, tbl)[1])
     print(f"while (exit at t={exit_t}):   {t*1e3:8.2f} ms")
 

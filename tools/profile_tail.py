@@ -17,24 +17,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench  # noqa: E402
-
-
-def timed(fn, args_list, iters=5):
-    import jax
-    import jax.numpy as jnp
-
-    def probe(out):
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        return jnp.ravel(leaf)[0].astype(jnp.float32)
-
-    float(probe(fn(*args_list[0])))
-    tot = jnp.zeros((), jnp.float32)
-    t0 = time.time()
-    for _ in range(iters):
-        for a in args_list:
-            tot = tot + probe(fn(*a))
-    float(tot)
-    return (time.time() - t0) / (iters * len(args_list))
+from tools._bench_util import timed_batches as timed  # noqa: E402
 
 
 def main():
