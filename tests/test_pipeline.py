@@ -363,3 +363,21 @@ def test_two_stage_exact_loop_equivalence(fm, rng, partitioning):
     key = lambda os: {(o.read_id, o.strand, o.end, o.distance) for o in os}
     assert stats["overflow"] == 0
     assert key(base) == key(split)
+
+
+def test_exact_compaction_overflow_retry(fm, rng):
+    """An ex_cap too small for the surviving lanes must trigger the lossless
+    auto-capacity retry (which scales ex_cap too) and still return the full
+    occurrence set with overflow == 0."""
+    genome, index = fm
+    m, k = 90, 2
+    reads = sample_reads(rng, genome, num=12, length=m, max_err=k, edits=True)
+    kw = dict(metric="edit", redundancy_filter=False, switchpoint=4)
+    base, _ = pipeline.match_all(index, reads, get_scheme("kuch1", k), **kw)
+    # ex_split=6 is before junk lanes die (depth 6), so nearly all 72 lanes
+    # survive stage 1 and ex_cap=24 overflows; the retry runs at 96
+    tiny, stats = pipeline.match_all(
+        index, reads, get_scheme("kuch1", k), ex_split=6, ex_cap=24, **kw)
+    key = lambda os: {(o.read_id, o.strand, o.end, o.distance) for o in os}
+    assert stats["overflow"] == 0
+    assert key(base) == key(tiny)
