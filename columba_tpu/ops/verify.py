@@ -28,8 +28,9 @@ def gather_window(index: FMIndex, starts: jax.Array, width: int) -> jax.Array:
     """Text codes (B, width) starting at `starts`; out-of-range -> 4.
 
     Fetches whole 16-char words via row gathers on a 2D view of the packed
-    text (per-character gathers are ~width x slower on TPU), then unpacks
-    and slices the requested window.
+    text (per-character gathers are ~width x slower on TPU), then aligns
+    the window with word-level selects and bit shifts — NO per-element
+    fancy gather (take_along_axis over (B, chars) was the old hot spot).
     """
     nblk = -(-(width + 127) // 128)  # blocks so offset(<=127)+width fits
     n = index.n_arr[0]
@@ -39,13 +40,33 @@ def gather_window(index: FMIndex, starts: jax.Array, width: int) -> jax.Array:
     wvals = jnp.concatenate(
         [text2d[jnp.clip(start_blk + i, 0, nb - 1)] for i in range(nblk + 1)],
         axis=1)                                             # (B, 8*(nblk+1))
-    shifts = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
-    chars = ((wvals[..., None] >> shifts) & 3).astype(jnp.int32)
-    chars = chars.reshape(wvals.shape[0], -1)               # (B, 128*(nblk+1))
+    B = wvals.shape[0]
+    nw_in = wvals.shape[1]
     off = jnp.clip(starts, 0, None) - (start_blk << 7)      # (B,) in [0,127]
-    cols = off[:, None] + jnp.arange(width, dtype=jnp.int32)
-    codes = jnp.take_along_axis(
-        chars, jnp.clip(cols, 0, chars.shape[1] - 1), axis=1)
+
+    # 1) word-align: rotate out the off>>4 leading words (8-way unrolled
+    # select; off < 128 so at most 8 word shifts)
+    nw_out = (width + 15) // 16 + 1
+    assert nw_out + 7 <= nw_in + 1, (nw_out, nw_in)
+    pad = jnp.zeros((B, max(nw_out + 8 - nw_in, 0)), wvals.dtype)
+    wpad = jnp.concatenate([wvals, pad], axis=1)
+    ws = off >> 4                                           # (B,) in [0,7]
+    sel = wpad[:, 0:nw_out]
+    for s in range(1, 8):
+        sel = jnp.where((ws == s)[:, None], wpad[:, s:s + nw_out], sel)
+
+    # 2) bit-align: shift by the remaining 2*(off & 15) bits, borrowing the
+    # high bits of the next word
+    r2 = (2 * (off & 15)).astype(jnp.uint32)[:, None]       # (B, 1)
+    nxt = jnp.concatenate(
+        [sel[:, 1:], jnp.zeros((B, 1), sel.dtype)], axis=1)
+    shifted = jnp.where(
+        r2 == 0, sel, (sel >> r2) | (nxt << (jnp.uint32(32) - r2)))
+
+    # 3) unpack the aligned words and take the first `width` chars
+    shifts = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
+    chars = ((shifted[..., None] >> shifts) & 3).astype(jnp.int32)
+    codes = chars.reshape(B, -1)[:, :width]
     pos = starts[:, None] + jnp.arange(width, dtype=jnp.int32)[None, :]
     inb = (pos >= 0) & (pos < n)
     return jnp.where(inb, codes, 4)
