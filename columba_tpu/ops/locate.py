@@ -23,8 +23,12 @@ def lf_step(index: FMIndex, rows: jax.Array) -> jax.Array:
     occ4, c = rank.occ_all_and_char(index.occ_fused, rows)
     d = (index.dollar[0] < rows).astype(jnp.int32)
     occ4 = occ4.at[..., 0].add(-d)
-    occ_c = jnp.take_along_axis(occ4, c[..., None], axis=-1)[..., 0]
-    lf = index.counts[c] + occ_c
+    occ_c = occ4[..., 0]
+    cnt_c = index.counts[0]
+    for i in range(1, 4):
+        occ_c = jnp.where(c == i, occ4[..., i], occ_c)
+        cnt_c = jnp.where(c == i, index.counts[i], cnt_c)
+    lf = cnt_c + occ_c
     return jnp.where(rows == index.dollar[0], 0, lf)
 
 

@@ -77,9 +77,12 @@ def occ_all_and_char(fused: jax.Array, pos: jax.Array):
         x = wvals ^ jnp.uint32(_PAT[c])
         hits = (~x) & ((~x) >> 1) & jnp.uint32(0x55555555) & mask
         out.append(jnp.sum(jax.lax.population_count(hits), axis=-1).astype(jnp.int32))
-    # decode char at pos: word index (pos>>4)&7, slot pos&15
+    # decode char at pos: word index (pos>>4)&7, slot pos&15 (unrolled
+    # selects — per-lane fancy indexing is slow on TPU)
     widx = (pos >> 4) & 7
-    w = jnp.take_along_axis(wvals, widx[..., None], axis=-1)[..., 0]
+    w = wvals[..., 0]
+    for i in range(1, WPB):
+        w = jnp.where(widx == i, wvals[..., i], w)
     char = ((w >> (2 * (pos.astype(jnp.uint32) & 15))) & 3).astype(jnp.int32)
     return base + jnp.stack(out, axis=-1), char
 
