@@ -138,6 +138,8 @@ def run_reference(wd, fa, fq, args, fq2=None):
         cmd += ["-F", fq2, "-nI", "-O", "FR", "-N", "200", "-X", "500"]
     if args.mode == "all":
         cmd += ["-e", str(args.e)]
+    elif args.x:
+        cmd += ["-x", str(args.x)]
     subprocess.run(cmd, check=True, capture_output=True)
     return out
 
@@ -156,6 +158,8 @@ def run_ours(wd, fa, fq, args, fq2=None):
                 "-N", "200", "-X", "500"]
     if args.mode == "all":
         cmd += ["-e", str(args.e)]
+    elif args.x:
+        cmd += ["-x", str(args.x)]
     cli.main(cmd)
     return out
 
@@ -193,6 +197,14 @@ def main(argv=None):
     p.add_argument("--level", default="positions", choices=["positions", "best", "cigar"])
     p.add_argument("--wd", default="/tmp/parity")
     p.add_argument("--paired", action="store_true")
+    p.add_argument("--x", type=int, default=0,
+                   help="best-plus-x stratum widening (BEST mode). Known "
+                        "divergence: for x>0 the reference emits UNMAPPED "
+                        "records for exact-match reads (its stratified "
+                        "loop never bins stratum 0 when best=0, "
+                        "src/searchstrategy.cpp:676-744); columba_tpu "
+                        "reports them per the documented best+x semantics, "
+                        "so exact-match reads mismatch by design.")
     args = p.parse_args(argv)
 
     wd = args.wd
