@@ -46,22 +46,33 @@ def sharded_match(
     capacity_per_shard: int,
     max_locate_per_shard: int,
     kb: int,
+    kmer_table: jax.Array | None = None,
+    switchpoint: int = 0,
+    max_verify_per_shard: int | None = None,
 ):
     """Run the device match step data-parallel over `mesh`.
 
     reads: (R, m) with R divisible by mesh size. Returns the same dict as
     pipeline.match_device_core with per-shard outputs concatenated on axis 0
-    and counters psum'd (replicated scalars).
+    and counters psum'd (replicated scalars). The k-mer seed table (if any)
+    is replicated like the index; the in-text crossover and verify sizing
+    mirror the single-chip arguments, per shard.
     """
     tables = pipeline.device_tables(sched)
     ndev = mesh.devices.size
     R = reads.shape[0]
     assert R % ndev == 0, f"batch {R} not divisible by {ndev} devices"
+    itv_cap = max_locate_per_shard if switchpoint > 0 else 0
+    split_step = 2 if switchpoint > 0 else 0
+    cap2 = max(1024, capacity_per_shard // 16) if switchpoint > 0 else 0
 
-    def local(idx, rd, tbl):
+    def local(idx, rd, tbl, kt=None):
         out = pipeline.match_device_core(
             idx, rd, sched, tbl,
             capacity_per_shard, max_locate_per_shard, kb,
+            kmer_table=kt, switchpoint=switchpoint, itv_cap=itv_cap,
+            split_step=split_step, capacity2=cap2,
+            max_verify=max_verify_per_shard,
         )
         # per-shard rid is local; globalize using the shard's position
         shard = jax.lax.axis_index("data")
@@ -84,13 +95,21 @@ def sharded_match(
     # check_vma=False: the frontier scan's initial carry is replicated (built
     # from the replicated index) and becomes shard-varying after one step;
     # the vma type-check rejects that even though it is semantically fine.
+    if kmer_table is None:
+        fn = shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P("data"), P()),
+            out_specs=out_specs,
+            check_vma=False,
+        )
+        return jax.jit(fn)(index, reads, tables)
     fn = shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P("data"), P()),
+        in_specs=(P(), P("data"), P(), P()),
         out_specs=out_specs,
         check_vma=False,
     )
-    return jax.jit(fn)(index, reads, tables)
+    return jax.jit(fn)(index, reads, tables, kmer_table)
 
 
 def sharded_match_jit(mesh, index, reads, scheme, m, metric="edit",

@@ -48,3 +48,50 @@ def test_sharded_match_equals_single(small_index, rng):
         return set(zip(out["rid"][v].tolist(), out["win_start"][v].tolist()))
 
     assert occ_set(out_sh) == occ_set(out_1)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_match_seeded_crossover(small_index):
+    """The multi-chip path with k-mer seeding + in-text crossover must match
+    the single-chip path's occurrence set."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from columba_tpu.dist import mesh as dmesh
+    from columba_tpu.index.fmindex import FMIndex
+    from columba_tpu.index.kmer import build_kmer_table, table_k
+    from columba_tpu.search import pipeline
+    from columba_tpu.search.scheme import get_scheme
+
+    genome, arrays = small_index
+    index = FMIndex.from_arrays(arrays)
+    kt = build_kmer_table(index, 6)
+    rng = np.random.default_rng(9)
+    m = 80
+    starts = rng.integers(0, len(genome) - m, size=16)
+    reads = np.stack([genome[s:s + m] for s in starts]).astype(np.int32)
+    for i in range(16):
+        j = int(rng.integers(0, m))
+        reads[i, j] = (reads[i, j] + 1) % 4
+    sched = pipeline.compile_cached(get_scheme("kuch1", 2), m, "edit",
+                                    kmer_k=table_k(kt))
+    tables = pipeline.device_tables(sched)
+
+    mesh8 = dmesh.make_data_mesh(8)
+    single = pipeline.match_device_core(
+        index, jnp.asarray(reads), sched, tables, 1024, 1024, 2,
+        kmer_table=kt, switchpoint=4, itv_cap=1024, split_step=2,
+        capacity2=256)
+    multi = dmesh.sharded_match(
+        mesh8, index, jnp.asarray(reads), sched,
+        capacity_per_shard=256, max_locate_per_shard=1024, kb=2,
+        kmer_table=kt, switchpoint=4)
+
+    def occ_set(out, rid_all=None):
+        v = np.asarray(out["valid"])
+        r = np.asarray(out["rid"])[v]
+        w = np.asarray(out["win_start"])[v]
+        return set(zip(r.tolist(), w.tolist()))
+
+    assert int(multi["overflow"]) == 0
+    assert occ_set(single) == occ_set(multi)
