@@ -95,3 +95,25 @@ def test_sharded_match_seeded_crossover(small_index):
 
     assert int(multi["overflow"]) == 0
     assert occ_set(single) == occ_set(multi)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_match_rlc_backend(small_index, rng):
+    """The RLC (b-move) index shards through the same data-parallel path
+    (the index pytree is replicated regardless of flavor)."""
+    from columba_tpu.dist import mesh as dmesh
+    from columba_tpu.index.bmove import BMoveIndex, build_bmove_from_codes
+
+    genome, _ = small_index
+    index = BMoveIndex.from_arrays(build_bmove_from_codes(genome))
+    m = 80
+    starts = rng.integers(0, len(genome) - m, size=16)
+    reads = jnp.asarray(
+        np.stack([genome[s:s + m] for s in starts]).astype(np.int32))
+    sched = pipeline.compile_cached(get_scheme("kuch1", 2), m, "edit")
+    mesh = dmesh.make_data_mesh(8)
+    out = dmesh.sharded_match(mesh, index, reads, sched, 256, 512, 2)
+    single = pipeline.match_device_core(
+        index, reads, sched, pipeline.device_tables(sched), 2048, 4096, 2)
+    assert int(np.asarray(out["overflow"])) == 0
+    assert int(np.asarray(out["total"])) == int(np.asarray(single["total"]))
