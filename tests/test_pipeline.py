@@ -381,3 +381,18 @@ def test_exact_compaction_overflow_retry(fm, rng):
     key = lambda os: {(o.read_id, o.strand, o.end, o.distance) for o in os}
     assert stats["overflow"] == 0
     assert key(base) == key(tiny)
+
+
+def test_read_with_n_bases(fm):
+    """N in a read (code 4) matches nothing: it costs one error at its
+    position and the rest of the read still anchors the occurrence
+    (reference: N chars mismatch all, src/bitparallelmatrix.cpp match
+    vectors)."""
+    genome, index = fm
+    r = genome[5000:5090].astype(np.uint8).copy()
+    r[40] = 4
+    occs, _ = pipeline.match_all(index, r[None], get_scheme("kuch1", 2),
+                                 metric="edit")
+    hits = [(o.begin, o.distance) for o in occs
+            if o.read_id == 0 and o.strand == 0]
+    assert any(abs(b - 5000) <= 2 and d >= 1 for b, d in hits), hits
