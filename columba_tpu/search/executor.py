@@ -324,25 +324,46 @@ def run_scheme(
             db_ex_l = jnp.tile(tables["db_ex"], (1, R))
             # pattern chars for every (step, lane), built up front so the
             # loop body row-slices instead of element-gathering per step.
-            # sched.ex_pos is compile-time, so each (step, search) char
-            # vector is a STATIC read column — stacked slices, no gather
-            # (guarded by a size cap: huge schedules fall back to one
-            # vectorized gather to bound compile time)
+            # sched.ex_pos is compile-time and each search's exact prefix
+            # is a few CONTIGUOUS runs of read positions, so the whole
+            # (E, L) table assembles from static slices (+flips for
+            # backward runs) — no gather at all
             exp_np = np.asarray(sched.ex_pos)                 # (S, E)
-            if E * S <= 512:
-                zero_col = jnp.zeros((R,), reads.dtype)
-                steps_cols = []
-                for e in range(E):
-                    row = [reads[:, int(exp_np[s, e])]
-                           if int(exp_np[s, e]) >= 0 else zero_col
-                           for s in range(S)]
-                    steps_cols.append(jnp.stack(row, axis=1))  # (R, S)
-                ex_chars = jnp.stack(steps_cols, axis=0).reshape(
-                    E, L).astype(jnp.int32)                   # (E, L)
-            else:
-                ex_chars = jnp.transpose(
-                    reads[:, jnp.clip(tables["ex_pos"], 0, m - 1)], (1, 0, 2)
-                ).reshape(E, L).astype(jnp.int32)             # (E, L)
+            per_search = []
+            for s in range(S):
+                segs = []
+                e = 0
+                while e < E:
+                    p = int(exp_np[s, e])
+                    if p < 0:
+                        e2 = e
+                        while e2 < E and int(exp_np[s, e2]) < 0:
+                            e2 += 1
+                        segs.append(jnp.zeros((e2 - e, R), reads.dtype))
+                        e = e2
+                        continue
+                    e2 = e + 1
+                    step_dir = 0
+                    while e2 < E:
+                        q = int(exp_np[s, e2])
+                        d = q - int(exp_np[s, e2 - 1])
+                        if q < 0 or d not in (1, -1) or (
+                                step_dir and d != step_dir):
+                            break
+                        step_dir = d
+                        e2 += 1
+                    lo = min(int(exp_np[s, e]), int(exp_np[s, e2 - 1]))
+                    hi = max(int(exp_np[s, e]), int(exp_np[s, e2 - 1]))
+                    run = reads[:, lo:hi + 1].T               # (len, R)
+                    if int(exp_np[s, e]) > int(exp_np[s, e2 - 1]):
+                        run = jnp.flip(run, axis=0)
+                    segs.append(run)
+                    e = e2
+                per_search.append(
+                    jnp.concatenate(segs, axis=0) if len(segs) > 1
+                    else segs[0])                             # (E, R)
+            ex_chars = jnp.stack(per_search, axis=2).reshape(
+                E, L).astype(jnp.int32)                       # (E, L)
         else:
             ex_pos_l = dyn["ex_pos"].T                        # (E, L)
             ex_dir_l = dyn["ex_dir"].T
