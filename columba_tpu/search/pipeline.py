@@ -450,34 +450,35 @@ def _extract_occurrences(out, R, m, k, kb, redundancy_filter=True) -> list[Occur
     (src/indexhelpers.cpp:276-382 cluster centers;
     src/indexinterface.cpp:1373-1491 getUniqueTextOccurrences).
     """
-    valid = out["valid"]
-    rows = out["final_rows"]
-    seen = {}
-    for i in np.nonzero(valid)[0]:
-        row = rows[i]
-        bw = len(row)
-        for a in range(bw):
-            v = int(row[a])
-            if v > k:
-                continue
-            left = int(row[a - 1]) if a > 0 else 127
-            right = int(row[a + 1]) if a < bw - 1 else 127
-            if v > left or v > right:
-                continue  # not a local minimum
-            if v == left and a > 0:
-                continue  # report leftmost of a plateau only
-            end = int(out["win_start"][i]) + m + (a - kb)
-            key = (int(out["rid"][i]), end)
-            if key not in seen or seen[key] > v:
-                seen[key] = v
-    occs = []
-    for (rid, end), ed in seen.items():
-        occs.append(
-            Occurrence(
-                read_id=rid % R, strand=rid // R,
-                begin=end - m, end=end, distance=ed,  # begin refined later
-            )
-        )
+    valid = np.asarray(out["valid"])
+    rows = np.asarray(out["final_rows"])
+    # vectorized local-minimum (cluster-center) detection over all final
+    # rows at once: leftmost-of-plateau, value <= k
+    bw = rows.shape[1]
+    pad = np.full((rows.shape[0], 1), 127, rows.dtype)
+    left = np.concatenate([pad, rows[:, :-1]], axis=1)
+    right = np.concatenate([rows[:, 1:], pad], axis=1)
+    is_min = (rows <= k) & (rows <= left) & (rows <= right)
+    is_min[:, 1:] &= rows[:, 1:] != left[:, 1:]   # plateau: keep leftmost
+    is_min &= valid[:, None]
+    ii, aa = np.nonzero(is_min)
+    if ii.size:
+        rid_all = np.asarray(out["rid"])[ii]
+        end_all = np.asarray(out["win_start"])[ii] + m + (aa - kb)
+        ed_all = rows[ii, aa]
+        # min distance per (rid, end)
+        order = np.lexsort((ed_all, end_all, rid_all))
+        rid_s, end_s, ed_s = rid_all[order], end_all[order], ed_all[order]
+        first = np.concatenate(
+            [[True], (rid_s[1:] != rid_s[:-1]) | (end_s[1:] != end_s[:-1])])
+        occs = [
+            Occurrence(read_id=int(r) % R, strand=int(r) // R,
+                       begin=int(e) - m, end=int(e),  # begin refined later
+                       distance=int(d))
+            for r, e, d in zip(rid_s[first], end_s[first], ed_s[first])
+        ]
+    else:
+        occs = []
     if redundancy_filter:
         occs = _redundancy_filter(occs, k)
     occs.sort(key=lambda o: o.key())
