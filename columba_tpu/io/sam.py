@@ -98,6 +98,90 @@ def traceback(pattern: np.ndarray, window: np.ndarray, end_col: int,
     return begin, "".join(f"{n}{op}" for n, op in cigar), ed
 
 
+def traceback_batch(patterns, windows, kb: int):
+    """Batched host traceback: one vectorized DP per read-length group.
+
+    patterns/windows: sequences of 1-D code arrays (len(window) <= len(
+    pattern)+kb). Returns a list of (begin_col, cigar, ed) per entry with
+    IDENTICAL results to traceback() — the per-cell DP and the backward
+    walk's tie order are the same; only the row computation is batched.
+    Exact diagonal matches short-circuit to "<m>M" (provably what the
+    walk produces when ed == 0).
+    """
+    out = [None] * len(patterns)
+    if not patterns:
+        return out
+    if kb == 0:
+        for i, (p, w) in enumerate(zip(patterns, windows)):
+            out[i] = traceback(p, w, len(w), kb)
+        return out
+    groups: dict[int, list[int]] = {}
+    for i, p in enumerate(patterns):
+        groups.setdefault(len(p), []).append(i)
+    for m, idxs in groups.items():
+        t = m + kb  # left-padded window length
+        B = len(idxs)
+        pat = np.stack([patterns[i] for i in idxs]).astype(np.int16)
+        text = np.full((B, t), 5, np.int16)  # 5 = pad, mismatches all
+        pads = np.empty(B, np.int32)
+        for bi, i in enumerate(idxs):
+            w = windows[i]
+            pads[bi] = t - len(w)
+            text[bi, t - len(w):] = w
+        # exact-diagonal shortcut
+        diag = text[:, kb:]
+        exact = ((diag == pat) & (pat <= 3)).all(axis=1) & (pads <= kb)
+        todo = np.nonzero(~exact)[0]
+        for bi in np.nonzero(exact)[0]:
+            out[idxs[bi]] = (kb - int(pads[bi]), f"{m}M", 0)
+        if todo.size == 0:
+            continue
+        patc, textc = pat[todo], text[todo]
+        Bc = todo.size
+        D = np.zeros((m + 1, Bc, t + 1), np.int16)
+        D[:, :, 0] = np.arange(m + 1, dtype=np.int16)[:, None]
+        col = np.arange(1, t + 1, dtype=np.int16)
+        bad = textc > 3
+        for j in range(1, m + 1):
+            pj = patc[:, j - 1:j]
+            mis = ((textc != pj) | (pj > 3) | bad).astype(np.int16)
+            best = np.minimum(D[j - 1, :, :-1] + mis, D[j - 1, :, 1:] + 1)
+            run = best - col
+            np.minimum.accumulate(run, axis=1, out=run)
+            D[j, :, 1:] = np.minimum(np.minimum(best, run + col),
+                                     D[j, :, 0:1] + col)
+        for bi_pos, bi in enumerate(todo):
+            i = idxs[bi]
+            Di = D[:, bi_pos, :]
+            pattern, textb = patc[bi_pos], textc[bi_pos]
+            ed = int(Di[m, t])
+            j, c = m, t
+            ops: list[str] = []
+            while j > 0:
+                if Di[j - 1, c] + 1 == Di[j, c]:
+                    op, j = "I", j - 1
+                elif c > 0 and Di[j - 1, c - 1] + (
+                        0 if (pattern[j - 1] == textb[c - 1]
+                              and pattern[j - 1] <= 3)
+                        else 1) == Di[j, c]:
+                    op, j, c = "M", j - 1, c - 1
+                else:
+                    assert c > 0 and Di[j, c - 1] + 1 == Di[j, c]
+                    op, c = "D", c - 1
+                ops.append(op)
+            begin = c - int(pads[bi])
+            ops.reverse()
+            cigar = []
+            for op in ops:
+                if cigar and cigar[-1][1] == op:
+                    cigar[-1][0] += 1
+                else:
+                    cigar.append([1, op])
+            out[i] = (begin,
+                      "".join(f"{n}{op}" for n, op in cigar), ed)
+    return out
+
+
 def record(
     qname: str,
     flag: int,

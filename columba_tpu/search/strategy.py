@@ -235,30 +235,38 @@ def emit_sam(
     (reference -nC; the traceback still runs to refine begin positions)."""
     genome = unpack_2bit(arrays.text, arrays.n)
     starts = arrays.seq_starts
+    # batch the traceback DP across every occurrence of the whole chunk
+    # (the per-record numpy DP was the host hot spot)
+    tasks = []          # (patterns, windows) in emission order
+    task_meta = []      # (rec_i, o, seq_codes, qual, w_lo)
+    for rec_i, (rec, mr) in enumerate(zip(records, mapped)):
+        for o in sorted(mr.occs, key=lambda o: (o.distance, o.begin,
+                                                o.strand)):
+            seq_codes = (rec.codes if o.strand == 0
+                         else alphabet.revcomp(rec.codes))
+            qual = rec.qual if o.strand == 0 else rec.qual[::-1]
+            w_lo = max(0, o.end - len(rec.codes) - kb)
+            tasks.append((seq_codes, genome[w_lo:o.end]))
+            task_meta.append((rec_i, o, seq_codes, qual, w_lo))
+    tb = sam.traceback_batch([t[0] for t in tasks], [t[1] for t in tasks],
+                             kb)
+    per_rec: dict[int, list] = {}
+    for (rec_i, o, seq_codes, qual, w_lo), (begin, cigar, ed) in zip(
+            task_meta, tb):
+        begin += w_lo
+        sidx = int(np.searchsorted(starts, begin, side="right") - 1)
+        sidx = max(0, min(sidx, len(arrays.seq_names) - 1))
+        pos1 = begin - int(starts[sidx]) + 1
+        per_rec.setdefault(rec_i, []).append(
+            (o, seq_codes, qual, cigar, ed, sidx, pos1, begin))
+
     lines = []
-    for rec, mr in zip(records, mapped):
+    for rec_i, (rec, mr) in enumerate(zip(records, mapped)):
         if not mr.occs:
             if unmapped_records:
                 lines.append(sam.unmapped_record(rec.name, rec.codes, rec.qual))
             continue
-        occs = sorted(mr.occs, key=lambda o: (o.distance, o.begin, o.strand))
-        finalized = []
-        for o in occs:
-            seq_codes = rec.codes if o.strand == 0 else alphabet.revcomp(rec.codes)
-            qual = rec.qual if o.strand == 0 else rec.qual[::-1]
-            # refine begin + CIGAR by host traceback around the end
-            w_lo = max(0, o.end - len(rec.codes) - kb)
-            window = genome[w_lo:o.end]
-            begin, cigar, ed = sam.traceback(
-                seq_codes, window, len(window), kb
-            )
-            begin += w_lo
-            sidx = int(np.searchsorted(starts, begin, side="right") - 1)
-            sidx = max(0, min(sidx, len(arrays.seq_names) - 1))
-            pos1 = begin - int(starts[sidx]) + 1
-            finalized.append((o, seq_codes, qual, cigar, ed, sidx, pos1,
-                              begin))
-        finalized = _final_redundancy_filter(finalized, kb)
+        finalized = _final_redundancy_filter(per_rec[rec_i], kb)
         # primary = best distance, earliest begin
         finalized.sort(key=lambda f: (f[4], f[7], f[0].strand))
         finalized = [f[:7] for f in finalized]
