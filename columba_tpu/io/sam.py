@@ -150,35 +150,46 @@ def traceback_batch(patterns, windows, kb: int):
             np.minimum.accumulate(run, axis=1, out=run)
             D[j, :, 1:] = np.minimum(np.minimum(best, run + col),
                                      D[j, :, 0:1] + col)
+        # lockstep backward walk over all remaining records: each step
+        # picks I/M/D per lane with the reference's insertion-first tie
+        # order; a lane halts at j == 0. <= m + t steps total.
+        lanes = np.arange(Bc)
+        j = np.full(Bc, m, np.int32)
+        c = np.full(Bc, t, np.int32)
+        ops_mat = np.zeros((m + t, Bc), np.int8)  # 0 none, 1 I, 2 M, 3 D
+        n_ops = np.zeros(Bc, np.int32)
+        for _ in range(m + t):
+            livew = j > 0
+            if not livew.any():
+                break
+            jc = np.clip(j, 1, m)
+            cc = np.clip(c, 0, t)
+            d_cur = D[jc, lanes, cc]
+            is_i = D[jc - 1, lanes, cc] + 1 == d_cur
+            ccm = np.clip(cc - 1, 0, t)
+            pj = patc[lanes, jc - 1]
+            tc = textc[lanes, ccm]
+            mis = ((pj != tc) | (pj > 3)).astype(np.int16)
+            is_m = (~is_i) & (cc > 0) & (
+                D[jc - 1, lanes, ccm] + mis == d_cur)
+            op = np.where(is_i, 1, np.where(is_m, 2, 3)).astype(np.int8)
+            op = np.where(livew, op, 0)
+            ops_mat[n_ops, lanes] = op
+            n_ops += livew
+            j = np.where(livew & (op != 3), j - 1, j)
+            c = np.where(livew & (op != 1), c - 1, c)
+        OPC = "?IMD"
         for bi_pos, bi in enumerate(todo):
             i = idxs[bi]
-            Di = D[:, bi_pos, :]
-            pattern, textb = patc[bi_pos], textc[bi_pos]
-            ed = int(Di[m, t])
-            j, c = m, t
-            ops: list[str] = []
-            while j > 0:
-                if Di[j - 1, c] + 1 == Di[j, c]:
-                    op, j = "I", j - 1
-                elif c > 0 and Di[j - 1, c - 1] + (
-                        0 if (pattern[j - 1] == textb[c - 1]
-                              and pattern[j - 1] <= 3)
-                        else 1) == Di[j, c]:
-                    op, j, c = "M", j - 1, c - 1
-                else:
-                    assert c > 0 and Di[j, c - 1] + 1 == Di[j, c]
-                    op, c = "D", c - 1
-                ops.append(op)
-            begin = c - int(pads[bi])
-            ops.reverse()
-            cigar = []
-            for op in ops:
-                if cigar and cigar[-1][1] == op:
-                    cigar[-1][0] += 1
-                else:
-                    cigar.append([1, op])
-            out[i] = (begin,
-                      "".join(f"{n}{op}" for n, op in cigar), ed)
+            ed = int(D[m, bi_pos, t])
+            seq = ops_mat[:n_ops[bi_pos], bi_pos][::-1]
+            # run-length encode via change points
+            chg = np.flatnonzero(np.diff(seq)) + 1
+            bounds = np.concatenate([[0], chg, [len(seq)]])
+            cigar = "".join(
+                f"{bounds[x+1]-bounds[x]}{OPC[seq[bounds[x]]]}"
+                for x in range(len(bounds) - 1))
+            out[i] = (int(c[bi_pos]) - int(pads[bi]), cigar, ed)
     return out
 
 
