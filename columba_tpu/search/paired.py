@@ -246,11 +246,37 @@ def emit_sam_paired(
     starts = arrays.seq_starts
     lines = []
 
+    # first pass: collect every (occurrence, record) traceback task and
+    # run ONE batched DP (see sam.traceback_batch)
+    tasks, keymap = [], {}
+
+    def collect(o, rec):
+        key = (id(o), id(rec))
+        if key not in keymap:
+            seq_codes = (rec.codes if o.strand == 0
+                         else alphabet.revcomp(rec.codes))
+            w_lo = max(0, o.end - len(rec.codes) - kb)
+            keymap[key] = len(tasks)
+            tasks.append((seq_codes, genome[w_lo:o.end], w_lo))
+
+    for i, (r1, r2) in enumerate(zip(recs1, recs2)):
+        mp = mapped[i]
+        for p in (mp.pairs or mp.discordant):
+            o1 = p.up if p.up_is_read1 else p.down
+            o2 = p.down if p.up_is_read1 else p.up
+            collect(o1, r1)
+            collect(o2, r2)
+        for o in mp.unpaired1:
+            collect(o, r1)
+        for o in mp.unpaired2:
+            collect(o, r2)
+    tb = sam.traceback_batch([t[0] for t in tasks],
+                             [t[1] for t in tasks], kb)
+
     def finalize(o, rec):
-        seq_codes = rec.codes if o.strand == 0 else alphabet.revcomp(rec.codes)
-        w_lo = max(0, o.end - len(rec.codes) - kb)
-        window = genome[w_lo:o.end]
-        begin, cigar, ed = sam.traceback(seq_codes, window, len(window), kb)
+        ti = keymap[(id(o), id(rec))]
+        seq_codes, _, w_lo = tasks[ti]
+        begin, cigar, ed = tb[ti]
         begin += w_lo
         sidx = int(np.searchsorted(starts, begin, side="right") - 1)
         sidx = max(0, min(sidx, len(arrays.seq_names) - 1))
