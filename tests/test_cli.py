@@ -140,3 +140,36 @@ def test_build_all_sparseness_and_align_s(tmp_path):
     cli.main(["align", "-r", idx, "-f", str(fq), "-o", out, "-a", "all",
               "-e", "0", "-s", "32"])
     assert len(_body(out)) == 8
+
+
+def test_xa_rhs_and_trim(workload):
+    """-XA folds secondaries into the primary's XA tag; .rhs output emits
+    read-hit summaries; -T trims reads before aligning."""
+    import os
+
+    wd, idx, fq = workload
+    wd = str(wd)
+
+    out_xa = os.path.join(wd, "xa.sam")
+    cli.main(["align", "-r", idx, "-f", fq, "-o", out_xa, "-a", "all",
+              "-e", "2", "-XA"])
+    body = [l for l in open(out_xa) if not l.startswith("@")]
+    assert body and all(
+        "\tXA:Z:" in l or l.split("\t")[1] in ("0", "16", "4")
+        for l in body)
+    # XA mode: exactly one record per read
+    names = [l.split("\t")[0] for l in body]
+    assert len(names) == len(set(names))
+
+    out_rhs = os.path.join(wd, "out.rhs")
+    cli.main(["align", "-r", idx, "-f", fq, "-o", out_rhs, "-a", "all",
+              "-e", "2"])
+    rhs = [l for l in open(out_rhs) if "\t" in l]
+    assert rhs and all("(" in l.split("\t")[1] for l in rhs)
+
+    out_trim = os.path.join(wd, "trim.sam")
+    cli.main(["align", "-r", idx, "-f", fq, "-o", out_trim, "-a", "all",
+              "-e", "2", "-T", "0-60"])
+    tb = [l for l in open(out_trim) if not l.startswith("@")
+          and l.split("\t")[1] != "4"]
+    assert tb and all(len(l.split("\t")[9]) == 60 for l in tb)
