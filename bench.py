@@ -85,8 +85,14 @@ def measure_tpu(arrays, reads) -> float:
 
     # K=12 seed table (256MB HBM): junk lanes die ~2 steps after the seed
     # and the drain gate opens at depth 16-12-1=3, so the exact loop's
-    # early exit fires ~3 steps sooner than with the reference's K=10
-    kmer_table = build_kmer_table(index, 12)
+    # early exit fires ~3 steps sooner than with the reference's K=10.
+    # Disk-cached: the on-device build costs ~30s of warmup otherwise.
+    kcache = os.path.join(CACHE_DIR, "kmer12.npy")
+    if os.path.exists(kcache):
+        kmer_table = jax.device_put(np.load(kcache))
+    else:
+        kmer_table = build_kmer_table(index, 12)
+        np.save(kcache, np.asarray(kmer_table))
     scheme = get_scheme("kuch1", K)
     sched = pipeline.compile_cached(scheme, READ_LEN, "edit",
                                 kmer_k=table_k(kmer_table))
