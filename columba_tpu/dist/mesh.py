@@ -62,9 +62,8 @@ def sharded_match(
     ndev = mesh.devices.size
     R = reads.shape[0]
     assert R % ndev == 0, f"batch {R} not divisible by {ndev} devices"
-    itv_cap = max_locate_per_shard if switchpoint > 0 else 0
-    split_step = 2 if switchpoint > 0 else 0
-    cap2 = max(1024, capacity_per_shard // 16) if switchpoint > 0 else 0
+    itv_cap, split_step, cap2 = pipeline.crossover_caps(
+        capacity_per_shard, max_locate_per_shard, switchpoint)
 
     def local(idx, rd, tbl, kt=None):
         out = pipeline.match_device_core(

@@ -67,6 +67,17 @@ def gather_window(index: FMIndex, starts: jax.Array, width: int) -> jax.Array:
     shifts = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
     chars = ((shifted[..., None] >> shifts) & 3).astype(jnp.int32)
     codes = chars.reshape(B, -1)[:, :width]
+    # 4) negative starts: the clip above anchored the window at text pos 0,
+    # so roll the content RIGHT by |start| to put text[start+j] at column j
+    # (window starts go only kb below 0; unrolled small-shift selects).
+    # Without this, occurrences within kb of the text start score against
+    # a shifted window and are LOST.
+    neg = jnp.maximum(-starts, 0)                           # (B,)
+    max_neg = int(min(width - 1, 32))
+    for s in range(1, max_neg + 1):
+        rolled = jnp.concatenate(
+            [jnp.full((B, s), 4, codes.dtype), codes[:, :-s]], axis=1)
+        codes = jnp.where((neg == s)[:, None], rolled, codes)
     pos = starts[:, None] + jnp.arange(width, dtype=jnp.int32)[None, :]
     inb = (pos >= 0) & (pos < n)
     return jnp.where(inb, codes, 4)

@@ -261,15 +261,19 @@ def emit_sam_paired(
 
     for i, (r1, r2) in enumerate(zip(recs1, recs2)):
         mp = mapped[i]
-        for p in (mp.pairs or mp.discordant):
+        cands = sorted(mp.pairs or mp.discordant,
+                       key=lambda p: (p.total_distance, p.up.begin))
+        for p in cands[:101]:  # emission stops at rank 100
             o1 = p.up if p.up_is_read1 else p.down
             o2 = p.down if p.up_is_read1 else p.up
             collect(o1, r1)
             collect(o2, r2)
-        for o in mp.unpaired1:
-            collect(o, r1)
-        for o in mp.unpaired2:
-            collect(o, r2)
+        if not cands:
+            # only the best unpaired occurrence per side is emitted
+            for rec, occs in ((r1, mp.unpaired1), (r2, mp.unpaired2)):
+                if occs:
+                    collect(min(occs, key=lambda o: (o.distance, o.begin)),
+                            rec)
     tb = sam.traceback_batch([t[0] for t in tasks],
                              [t[1] for t in tasks], kb)
 

@@ -45,6 +45,14 @@ class Occurrence:
 # Device side
 # ---------------------------------------------------------------------------
 
+def crossover_caps(capacity: int, max_locate: int, switchpoint: int):
+    """Derived in-text crossover sizing (itv_cap, split_step, capacity2),
+    shared by match_all and dist.mesh so the two paths cannot drift."""
+    if switchpoint > 0:
+        return int(max_locate), 2, max(1024, int(capacity) // 16)
+    return 0, 0, 0
+
+
 def stage_candidates(res, sched, dyn):
     """Unified candidate list: completed frontier nodes + in-text-crossover
     entries [f_lo, f_hi, ids, back_depth] -> (c_lo, c_hi, c_rid, c_estb)."""
@@ -368,14 +376,11 @@ def match_all(
             live_s = int(np.asarray(search_mask).sum(axis=1).max())
         capacity = max(1024, batch.shape[0] * live_s)
 
-    itv_cap = int(max_locate) if switchpoint > 0 else 0
-    # with the crossover draining most lanes within the first couple of
-    # steps, shrink the frontier early (two-stage scan); overflow triggers
-    # the 4x retry below, which scales both capacities
-    split_step = 2 if switchpoint > 0 else 0
+    itv_cap, split_step, _ = crossover_caps(capacity, max_locate,
+                                            switchpoint)
 
     def run(cap, ecap):
-        cap2 = max(1024, cap // 16) if switchpoint > 0 else 0
+        _, _, cap2 = crossover_caps(cap, max_locate, switchpoint)
         out = _match_device(
             index,
             jnp.asarray(batch),

@@ -396,3 +396,18 @@ def test_read_with_n_bases(fm):
     hits = [(o.begin, o.distance) for o in occs
             if o.read_id == 0 and o.strand == 0]
     assert any(abs(b - 5000) <= 2 and d >= 1 for b, d in hits), hits
+
+
+def test_occurrence_at_text_start(fm):
+    """Occurrences within kb of text position 0 must be found (regression:
+    gather_window used to anchor negative window starts at 0 without
+    shifting, losing every match at the genome start)."""
+    genome, index = fm
+    for start in (0, 1, 2):
+        r = genome[start:start + 60].astype(np.uint8).copy()
+        r[30] = (r[30] + 1) % 4
+        occs, _ = pipeline.match_all(index, r[None], get_scheme("kuch1", 2),
+                                     metric="edit")
+        hit = [o for o in occs
+               if o.strand == 0 and abs(o.begin - start) <= 2]
+        assert hit, f"missed occurrence at genome position {start}"

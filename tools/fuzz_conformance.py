@@ -1,7 +1,7 @@
 import jax
 jax.config.update('jax_platforms', 'cpu')
 import numpy as np, sys
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 from tests.test_pipeline import brute_edit_ends, brute_hamming
 from tests.conftest import make_genome
 from columba_tpu.core import alphabet
