@@ -281,7 +281,11 @@ def run_scheme(
         # dynamic scheme selection: only the chosen scheme's searches live
         ranges0 = jnp.where(search_mask.reshape(-1)[:, None], ranges0, 0)
 
-    M = max(int(itv_cap), 1)
+    # the in-text buffer also receives BOUNDARY HARVEST rows (lanes whose
+    # every extension dies because the text ends — their already-completed
+    # occurrences must still reach locate/verify), so it exists even with
+    # the crossover off
+    M = max(int(itv_cap), 4096)
     itv_buf0 = jnp.zeros((M + 1, 4), jnp.int32)
     itv_cnt0 = jnp.zeros((), jnp.int32)
     L = R * S
@@ -659,6 +663,19 @@ def run_scheme(
             itv_cnt2 = jnp.minimum(itv_cnt + np_[-1] + 1, M)
         else:
             itv_buf2, itv_cnt2 = itv_buf, itv_cnt
+
+        # BOUNDARY HARVEST: a live, active lane whose every child neither
+        # survives nor drains is dying because the TEXT ends (mid-text,
+        # some extension char always exists); its colMin registers may
+        # already record a completed occurrence, so hand the parent's
+        # range to locate/verify instead of silently dropping it.
+        surv = child_alive if switchpoint <= 0 else (child_alive | narrow)
+        died = act & alive & ~jnp.any(surv, axis=1)
+        hpos = jnp.cumsum(died.astype(jnp.int32)) - 1
+        dest_h = jnp.where(died, jnp.minimum(itv_cnt2 + hpos, M), M)
+        hrows = jnp.stack([ranges[:, 0], ranges[:, 1], ids, dbv], axis=1)
+        itv_buf2 = itv_buf2.at[dest_h].set(hrows, mode="drop")
+        itv_cnt2 = jnp.minimum(itv_cnt2 + hpos[-1] + 1, M)
 
         ch_packed = _pack_state(
             ch_ranges,

@@ -30,7 +30,14 @@ for seed in range(40):
         B = 6
         reads = np.zeros((B, m), np.uint8)
         for i in range(B):
-            s = int(rng.integers(0, n - m - 4))
+            # always include text-edge reads (regression: occurrences at
+            # the genome start were once lost in verify)
+            if i == 0:
+                s = int(rng.integers(0, 3))
+            elif i == 1:
+                s = n - m - 1
+            else:
+                s = int(rng.integers(0, n - m - 4))
             r = g[s:s+m].astype(np.int64).copy()
             ne = int(rng.integers(0, k + 1))
             for _ in range(ne):
