@@ -325,28 +325,38 @@ def _align_paired(args, arrays, index, cfg, kmer_table):
     recs1 = list(fastq.parse_reads(args.reads))
     recs2 = list(fastq.parse_reads(args.reads2))
     assert len(recs1) == len(recs2), "read files must pair up"
-    m = len(recs1[0].codes)
-    if any(len(r.codes) != m for r in recs1 + recs2):
-        raise NotImplementedError("paired-end requires uniform read length")
-    reads1 = np.stack([r.codes for r in recs1])
-    reads2 = np.stack([r.codes for r in recs2])
+    # Pairs are bucketed by (len1, len2) so fixed-shape device batches work
+    # with mixed-length input (the reference streams records of any length,
+    # src/fastq.cpp:43-241; here shape groups play that role). Mapping runs
+    # per group; emission walks the original order in maximal same-group
+    # runs, so output order matches the input like the SE path.
+    groups: dict = {}
+    for i, (r1, r2) in enumerate(zip(recs1, recs2)):
+        groups.setdefault((len(r1.codes), len(r2.codes)), []).append(i)
+
+    from columba_tpu.search.strategy import get_max_ed, max_supported_k
+
+    def group_arrays(idxs):
+        return (np.stack([recs1[i].codes for i in idxs]),
+                np.stack([recs2[i].codes for i in idxs]))
+
+    def group_k(m):
+        if args.mode == "all":
+            return cfg.max_distance
+        return get_max_ed(args.min_identity, m,
+                          max(max_supported_k(args.scheme, m, args.metric), 1))
 
     if pcfg.infer:
+        # infer from the dominant shape group (reference caps its inference
+        # sample anyway, src/parallel.cpp:402-465 / definitions.h:57-58)
+        big = max(groups.values(), key=len)
+        reads1, reads2 = group_arrays(big)
         pcfg = paired.infer_parameters(
             index, reads1, reads2, cfg, arrays.seq_starts, kmer_table,
             pcfg_in=pcfg)
         import sys as _sys
         print(f"[columba_tpu] inferred orientation={pcfg.orientation} "
               f"insert=[{pcfg.min_insert},{pcfg.max_insert}]", file=_sys.stderr)
-
-    from columba_tpu.search.strategy import get_max_ed, max_supported_k
-
-    if args.mode == "all":
-        k = cfg.max_distance
-    else:
-        k = get_max_ed(args.min_identity, m,
-                       max(max_supported_k(args.scheme, m, args.metric), 1))
-    kb = k if cfg.metric == "edit" else 0
     seq_lengths = list(np.diff(arrays.seq_starts))
     import sys as _sys
     import time as _time
@@ -356,19 +366,23 @@ def _align_paired(args, arrays, index, cfg, kmer_table):
 
     ctrs = Counters()
     t0 = _time.time()
-    with open(args.output, "w") as out:
-        out.write(sam.header(arrays.seq_names, seq_lengths))
-        B = args.batch_size
-        for off in range(0, len(recs1), B):
+    # map every group, keyed back to original pair indices
+    mapped_all: list = [None] * len(recs1)
+    kb_of: dict = {}
+    done = 0
+    B = args.batch_size
+    for key, idxs in groups.items():
+        m1, _m2 = key
+        k = group_k(m1)
+        kb_of[key] = k if cfg.metric == "edit" else 0
+        g1, g2 = group_arrays(idxs)
+        for off in range(0, len(idxs), B):
             mapped = paired.map_pairs_all(
-                index, reads1[off:off + B], reads2[off:off + B],
+                index, g1[off:off + B], g2[off:off + B],
                 cfg.scheme_name, k, cfg.metric, pcfg, arrays.seq_starts,
                 kmer_table)
-            for line in paired.emit_sam_paired(
-                recs1[off:off + B], recs2[off:off + B], mapped, arrays, kb,
-            ):
-                out.write(line)
-            for mp in mapped:
+            for j, mp in zip(idxs[off:off + B], mapped):
+                mapped_all[j] = mp
                 ctrs.number_of_reads += 2
                 ctrs.total_unique_pairs += len(mp.pairs)
                 if mp.pairs:
@@ -379,9 +393,24 @@ def _align_paired(args, arrays, index, cfg, kmer_table):
                     ctrs.unpaired_but_mapped_pairs += 1
                 elif mp.unpaired1 or mp.unpaired2:
                     ctrs.mapped_half_pairs += 1
-            done = min(off + B, len(recs1))
+            done += min(len(idxs) - off, B)
             rate = done / max(_time.time() - t0, 1e-9)
             print(f"[columba_tpu] {done} pairs ({rate:,.0f} pairs/s)",
                   file=_sys.stderr)
+    with open(args.output, "w") as out:
+        out.write(sam.header(arrays.seq_names, seq_lengths))
+        # emit in input order, batching maximal runs of the same shape group
+        i = 0
+        while i < len(recs1):
+            key = (len(recs1[i].codes), len(recs2[i].codes))
+            j = i + 1
+            while (j < len(recs1) and j - i < B
+                   and (len(recs1[j].codes), len(recs2[j].codes)) == key):
+                j += 1
+            for line in paired.emit_sam_paired(
+                recs1[i:j], recs2[i:j], mapped_all[i:j], arrays, kb_of[key],
+            ):
+                out.write(line)
+            i = j
     ctrs.report(logger, paired=True)
     return 0

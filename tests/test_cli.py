@@ -173,3 +173,43 @@ def test_xa_rhs_and_trim(workload):
     tb = [l for l in open(out_trim) if not l.startswith("@")
           and l.split("\t")[1] != "4"]
     assert tb and all(len(l.split("\t")[9]) == 60 for l in tb)
+
+
+def test_paired_end_variable_read_lengths(workload):
+    """PE pairs bucketed by (len1, len2): mixed-length input maps and the
+    SAM stays in input order (reference streams any record length,
+    src/fastq.cpp:43-241)."""
+    from columba_tpu.core import alphabet
+    from columba_tpu.io import fastq
+
+    wd, idx, _ = workload
+    rng = np.random.default_rng(23)
+    genome = next(iter(fastq.parse_reads(str(wd / "g.fa")))).codes
+    i2c = "ACGT"
+    n, frag = 12, 280
+    with open(wd / "p1.fq", "w") as f1, open(wd / "p2.fq", "w") as f2:
+        for i in range(n):
+            l1 = 80 if i % 3 == 0 else 100
+            l2 = 70 if i % 5 == 0 else 100
+            s = int(rng.integers(0, len(genome) - frag - 1))
+            up = "".join(i2c[c] for c in genome[s:s + l1])
+            dn = "".join(
+                i2c[c] for c in alphabet.revcomp(genome[s + frag - l2:s + frag]))
+            f1.write(f"@p{i}/1\n{up}\n+\n{'I' * l1}\n")
+            f2.write(f"@p{i}/2\n{dn}\n+\n{'I' * l2}\n")
+    out = str(wd / "pe_var.sam")
+    rc = cli.main(["align", "-r", idx, "-f", str(wd / "p1.fq"),
+                   "-F", str(wd / "p2.fq"), "-o", out, "-a", "all",
+                   "-e", "1", "-b", "8", "--no-inferring",
+                   "-N", "0", "-X", "500"])
+    assert rc == 0
+    lines = _body(out)
+    names = [ln.split("\t")[0].split("/")[0] for ln in lines]
+    assert set(names) == {f"p{i}" for i in range(n)}
+    firsts = {}
+    for j, nm in enumerate(names):
+        firsts.setdefault(nm, j)
+    order = [firsts[f"p{i}"] for i in range(n)]
+    assert order == sorted(order)
+    proper = sum(1 for ln in lines if int(ln.split("\t")[1]) & 2)
+    assert proper >= 2 * n - 2
