@@ -98,8 +98,11 @@ def measure_tpu(arrays, reads) -> float:
                                 kmer_k=table_k(kmer_table))
     tables = pipeline.device_tables(sched)
     capacity = 4 * BATCH  # 2*BATCH rows x 3 searches x ~2/3 exact-prefix survival
-    max_locate = 1 << 15
-    max_verify = 12288
+    # locate/verify capacities scale with the batch (sized from measured
+    # per-8192-batch peaks x1.5 headroom; the bench checks for spill and
+    # warns, so an undersized capacity cannot pass silently)
+    max_locate = 4 * BATCH
+    max_verify = (3 * BATCH) // 2
     switchpoint = 4       # in-text crossover (reference default)
     split_step, capacity2 = 2, max(1024, capacity // 16)
     # two-stage exact loop off: the exact while_loop's all-dead early exit
