@@ -179,12 +179,18 @@ def measure_tpu(arrays, reads) -> float:
     n_done = epochs * nbatch * BATCH
     overflow = sum(int(o) for o, _, _ in outs)
     total_cands = sum(int(t) for _, t, _ in outs)
+    # locate spill: stage_expand truncates at max_locate, and n_unique is
+    # computed over surviving rows only — an undersized max_locate would
+    # otherwise ALSO suppress the verify_spill signal (pipeline.py flags the
+    # same case as locate_truncated)
+    locate_spill = sum(max(int(t) - max_locate, 0) for _, t, _ in outs)
     verify_spill = sum(max(int(u) - max_verify, 0) for _, _, u in outs)
     print(f"[bench] {n_done} reads, {total_cands} candidates, "
-          f"overflow={overflow}, verify_spill={verify_spill}", file=sys.stderr)
-    if overflow or verify_spill:
-        print("[bench] WARNING: frontier overflow / verify spill "
-              "(capacity too small)", file=sys.stderr)
+          f"overflow={overflow}, locate_spill={locate_spill}, "
+          f"verify_spill={verify_spill}", file=sys.stderr)
+    if overflow or locate_spill or verify_spill:
+        print("[bench] WARNING: frontier overflow / locate spill / verify "
+              "spill (capacity too small)", file=sys.stderr)
     return n_done / dt
 
 

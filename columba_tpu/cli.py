@@ -270,7 +270,7 @@ def cmd_align(args):
                 lines = emit_sam(records, mapped, arrays, index, kb,
                                  mode=args.mode, xa_tag=args.xa_tag,
                                  unmapped_records=not args.no_unmapped,
-                                 with_cigar=args.with_cigar)
+                                 with_cigar=args.with_cigar, counters=ctrs)
             for line in lines:
                 out.write(line)
             n_reads += len(records)
@@ -409,6 +409,7 @@ def _align_paired(args, arrays, index, cfg, kmer_table):
                 j += 1
             for line in paired.emit_sam_paired(
                 recs1[i:j], recs2[i:j], mapped_all[i:j], arrays, kb_of[key],
+                counters=ctrs,
             ):
                 out.write(line)
             i = j

@@ -39,6 +39,7 @@ class Counters:
         self.node_counter += stats.get("nodes_visited", 0)
         self.in_text_started += stats.get("itv_started", 0)
         self.search_started += stats.get("searches_started", 0)
+        self.aborted_in_text += stats.get("aborted_in_text", 0)
 
     def report(self, logger, paired: bool = False):
         n = self.number_of_reads
@@ -102,3 +103,4 @@ class Counters:
         logger.verbose_msg(
             f"Searches started (does not include immediate switches) : "
             f"{self.search_started}")
+        logger.verbose_msg(f"CIGAR strings computed: {self.cigars_computed}")

@@ -234,7 +234,7 @@ def infer_parameters(
 
 
 def emit_sam_paired(
-    recs1, recs2, mapped: list[MappedPair], arrays, kb: int
+    recs1, recs2, mapped: list[MappedPair], arrays, kb: int, counters=None
 ) -> list[str]:
     """SAM lines for a batch of pairs: primary = best total distance,
     others secondary (reference: src/searchstrategy.cpp:1904-1980)."""
@@ -276,6 +276,8 @@ def emit_sam_paired(
                             rec)
     tb = sam.traceback_batch([t[0] for t in tasks],
                              [t[1] for t in tasks], kb)
+    if counters is not None:
+        counters.cigars_computed += len(tasks)
 
     def finalize(o, rec):
         ti = keymap[(id(o), id(rec))]

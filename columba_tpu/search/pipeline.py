@@ -406,12 +406,17 @@ def match_all(
         # frontier (or mid-exact compaction) overflowed — losslessness at
         # risk: retry once with BOTH capacities 4x larger
         out = run(capacity * 4, ex_cap * 4)
+    # verified windows with no occurrence <= k are the analogue of the
+    # reference's aborted in-text verifications (src/indexhelpers.cpp:547-571
+    # InTextVerificationTask::doTask finding no cluster center <= maxED)
+    aborted = int((out["valid"] & (out["final_rows"].min(axis=1) > k)).sum())
     stats = dict(
         total_candidates=int(out["total"]),
         overflow=int(out["overflow"]),
         nodes_visited=int(out["nodes_visited"]),
         itv_started=int(out["itv_started"]),
         searches_started=int(out["searches_started"]),
+        aborted_in_text=aborted,
         locate_truncated=bool(out["total"] > max_locate)
         or bool(out["n_unique"] > max_locate),
     )
@@ -420,28 +425,30 @@ def match_all(
     return occs, stats
 
 
+@partial(jax.jit, static_argnames=("max_locate",))
+def _exact_device(index, batch, max_locate):
+    """k=0 device step: backward exact match + two-phase expand + locate."""
+    ranges = extend.exact_match(index, batch)
+    rows, cand, valid, total = stage_expand(
+        ranges[:, 0], ranges[:, 1], max_locate)
+    pos = locate.locate_rows(index, rows)
+    return pos, cand, valid, total
+
+
 def _match_exact(index, batch, R, max_locate):
-    """k=0 fast path: plain backward exact match + locate."""
-    ranges = np.asarray(extend.exact_match(index, jnp.asarray(batch)))
+    """k=0 fast path: plain backward exact match + locate (the range
+    expansion runs on device via stage_expand — a single exact read with
+    1e5 occurrences must not stall the host in a Python loop)."""
     m = batch.shape[1]
-    occs = []
-    rows_all, rids = [], []
-    for i in range(batch.shape[0]):
-        lo, hi = int(ranges[i, 0]), int(ranges[i, 1])
-        for r in range(lo, hi):
-            rows_all.append(r)
-            rids.append(i)
-    total = len(rows_all)
-    if rows_all:
-        rows_all = rows_all[:max_locate]
-        pos = np.asarray(locate.locate_rows(index, jnp.asarray(np.array(rows_all, dtype=np.int32))))
-        for p, i in zip(pos, rids[:max_locate]):
-            occs.append(
-                Occurrence(
-                    read_id=i % R, strand=i // R,
-                    begin=int(p), end=int(p) + m, distance=0,
-                )
-            )
+    pos, cand, valid, total = _exact_device(index, jnp.asarray(batch),
+                                            int(max_locate))
+    pos, cand, valid = np.asarray(pos), np.asarray(cand), np.asarray(valid)
+    total = int(total)
+    occs = [
+        Occurrence(read_id=int(c) % R, strand=int(c) // R,
+                   begin=int(p), end=int(p) + m, distance=0)
+        for p, c in zip(pos[valid], cand[valid])
+    ]
     occs.sort(key=lambda o: o.key())
     stats = dict(total_candidates=total, overflow=0, nodes_visited=0,
                  locate_truncated=total > max_locate)

@@ -316,6 +316,7 @@ _BUILTIN_DIRS = {
     "01*0": "01star0",
     "pigeon": "pigeon",
     "manbest": "manbest",
+    "suffix_filter": "suffix_filter",
     "minU": "minU",
     "columba": "columba",
 }

@@ -228,6 +228,7 @@ def emit_sam(
     xa_tag: bool = False,
     unmapped_records: bool = True,
     with_cigar: bool = True,
+    counters=None,
 ) -> list[str]:
     """SAM lines for a batch (primary = best occurrence, others secondary;
     with xa_tag, secondaries fold into the primary's XA:Z: tag instead,
@@ -250,6 +251,8 @@ def emit_sam(
             task_meta.append((rec_i, o, seq_codes, qual, w_lo))
     tb = sam.traceback_batch([t[0] for t in tasks], [t[1] for t in tasks],
                              kb)
+    if counters is not None:
+        counters.cigars_computed += len(tasks)
     per_rec: dict[int, list] = {}
     for (rec_i, o, seq_codes, qual, w_lo), (begin, cigar, ed) in zip(
             task_meta, tb):

@@ -411,3 +411,35 @@ def test_occurrence_at_text_start(fm):
         hit = [o for o in occs
                if o.strand == 0 and abs(o.begin - start) <= 2]
         assert hit, f"missed occurrence at genome position {start}"
+
+
+def test_best_plus_x_semantics(fm):
+    """Pin THIS repo's documented best+x semantics (tools/parity.py -x):
+    for x>0 a read whose best stratum is 0 is still REPORTED, with every
+    occurrence in [best, best+x] (the reference diverges here by design:
+    its stratified loop emits such reads as unmapped,
+    src/searchstrategy.cpp:676-744)."""
+    from columba_tpu.search import strategy
+
+    genome, index = fm
+    # a read sampled exactly, with a planted 1-edit second occurrence
+    m = 60
+    src = genome[3000:3000 + m].astype(np.uint8)
+    g2 = genome.copy()
+    g2[9000:9000 + m] = src
+    g2[9000 + 25] = (src[25] + 1) % 4
+    from columba_tpu.index.build import build_index_from_codes
+
+    idx2 = FMIndex.from_arrays(build_index_from_codes(g2))
+    cfg = strategy.MappingConfig(scheme_name="kuch1", mode="best",
+                                 best_plus_x=1, switchpoint=0,
+                                 partitioning="uniform")
+    mapped = strategy.map_batch_best(idx2, src[None], cfg)
+    mr = mapped[0]
+    assert mr.best == 0, "exact-match read must be reported with best=0"
+    dists = {(o.begin, o.distance) for o in mr.occs if o.strand == 0}
+    assert (3000, 0) in dists, dists
+    assert any(abs(b - 9000) <= 1 and d == 1 for b, d in dists), (
+        "x=1 must include the distance-1 stratum occurrence", dists)
+    # occurrences beyond best + x are excluded
+    assert all(d <= 1 for _, d in dists), dists

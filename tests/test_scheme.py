@@ -128,3 +128,32 @@ def test_static_partition_conformance(rng):
                               metric="edit", redundancy_filter=False,
                               partitioning="static")
     assert key(a) == key(b)  # both lossless -> same occurrence set
+
+
+def test_manbest_and_suffix_filter_bundled():
+    """manbest (k=4 only, reference search_schemes/manbest) and the suffix
+    filter family load from the registry and are usable; the adapted
+    variants load as custom folders (reference ships them for the paper-2
+    reproduction, search_schemes/*_adapted)."""
+    import os
+
+    from columba_tpu.search.scheme import _SCHEME_DIR
+
+    mb = get_scheme("manbest", 4)
+    assert mb.k == 4 and len(mb.searches) == 5
+    for k in (1, 2, 4, 8, 13):
+        sf = get_scheme("suffix_filter", k)
+        assert sf.k == k
+        assert sf.is_valid(), sf.uncovered_distributions()[:3]
+    for folder in ("kuch_k+1_adapted", "kuch_k+2_adapted",
+                   "pigeon_adapted", "01star0_adapted"):
+        sc = get_scheme(os.path.join(_SCHEME_DIR, folder), 4)
+        assert sc.k == 4 and sc.is_valid()
+
+
+def test_manbest_schedule_compiles():
+    from columba_tpu.search import schedule
+
+    sched = schedule.compile_schedule(get_scheme("manbest", 4), 100,
+                                      metric="edit")
+    assert sched.num_searches == 5

@@ -19,9 +19,19 @@ import bench  # noqa: E402
 
 
 def main():
-    sizes = [int(a) for a in sys.argv[1:]] or [8192, 16384, 32768]
+    sizes = [int(a) for a in sys.argv[1:]] or [8192, 16384, 32768, 65536]
     genome, reads = bench.build_workload()
     arrays = bench.build_index_cached(genome)
+    # trim the read set to a common multiple of all swept batch sizes so
+    # every sweep point measures the SAME workload (len//B*B would otherwise
+    # give each size a slightly different read count)
+    biggest = max(sizes)
+    common = (len(reads) // biggest) * biggest
+    if any(common % b for b in sizes):
+        raise SystemExit("batch sizes must divide the largest size "
+                         f"({biggest}) for an apples-to-apples sweep")
+    reads = reads[:common]
+    print(f"sweep over {common} reads per point", flush=True)
     results = {}
     for b in sizes:
         bench.BATCH = b
