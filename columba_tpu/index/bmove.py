@@ -16,12 +16,14 @@ Differences from the reference, by design (TPU-first, not a port):
 * "Walk to the next run of c" (reference moverepr.cpp:313-330) becomes a
   precomputed per-run table lookup -- O(r) extra ints buy away the only
   data-dependent loop in the hot path.
-* Locate is a batched LF-walk to the nearest run-boundary SA sample
-  (every run head AND tail is sampled, as in the reference's .smpf/.smpl),
-  uniform work per lane, instead of the reference's sequential
-  toehold + phi-walk enumeration (bmove.cpp:503-547): a phi chain is a
-  pointer chase over the whole occurrence list, the exact shape a TPU
-  cannot batch; per-row LF-walks of expected length (run length)/2 can.
+* Locate is a batched LF-walk to the nearest SA sample, where samples sit
+  at every run boundary (the reference's .smpf/.smpl) AND at every
+  LOCATE_STRIDE-th BWT row, so every walk is bounded by LOCATE_STRIDE
+  steps regardless of run length. The reference instead enumerates
+  occurrences by a sequential toehold + phi-walk bounded by PLCP
+  (bmove.cpp:503-547, plcp.h:59-130) — a pointer chase over the occurrence
+  list, the exact shape a TPU cannot batch; bounded per-row LF-walks are
+  uniform lanes. Cost: n/16 bytes of samples on top of the n/4-byte text.
 * The packed 2-bit text is kept (0.25 B/base) so the in-text verification
   and CIGAR paths are shared with the Vanilla back-end; the reference's
   textless matchedStr machinery (indexinterface.h:294-304) exists to save
@@ -55,8 +57,19 @@ START, END, LF_POS, LF_RUN, CHAR, SA_FIRST, SA_LAST = 0, 1, 2, 3, 4, 5, 6
 NEXT0, PREV0, CUM0 = 8, 12, 16
 NCOLS = 20
 
+# stride of the in-run SA sampling (power of two). Run-boundary samples
+# alone make locate walk an expected (run length)/2 LF steps — degenerate
+# on pan-genomes where RLC's r << n means huge runs; sampling every
+# LOCATE_STRIDE-th BWT row bounds every walk at LOCATE_STRIDE steps for
+# n/16 bytes (the RLC flavor already keeps the n/4-byte packed text for
+# verification, see the module docstring; the reference instead pays a
+# phi/PLCP structure + sequential enumeration, src/bmove/plcp.h:59-130,
+# bmove.cpp:503-547).
+LOCATE_STRIDE = 64
 
-def _runs_of_direction(codes: np.ndarray, sa_method: str):
+
+def _runs_of_direction(codes: np.ndarray, sa_method: str,
+                       want_stride: bool = False):
     """Move-table arrays for one direction. codes: clean 0..3 text."""
     n = len(codes)
     big = n + 1
@@ -102,7 +115,10 @@ def _runs_of_direction(codes: np.ndarray, sa_method: str):
             k2 = np.searchsorted(idx, np.arange(R), side="right") - 1
             prv[:, c] = np.where(k2 >= 0, idx[np.clip(k2, 0, None)], -1)
 
-    fused = np.zeros((R + 1, NCOLS), dtype=np.int32)
+    # positions/counts/SA values are uint32 (build.MAX_N ceiling); run
+    # indices share the table and are bit-cast back to int32 on device
+    # (PREV = -1 round-trips as 0xFFFFFFFF)
+    fused = np.zeros((R + 1, NCOLS), dtype=np.uint32)
     fused[:R, START] = starts
     fused[:R, END] = ends
     fused[:R, LF_POS] = lf_pos
@@ -110,8 +126,8 @@ def _runs_of_direction(codes: np.ndarray, sa_method: str):
     fused[:R, CHAR] = rchar
     fused[:R, SA_FIRST] = sa_full[starts]
     fused[:R, SA_LAST] = sa_full[ends - 1]
-    fused[:R, NEXT0:NEXT0 + 4] = nxt
-    fused[:R, PREV0:PREV0 + 4] = prv
+    fused[:R, NEXT0:NEXT0 + 4] = nxt.astype(np.uint32)
+    fused[:R, PREV0:PREV0 + 4] = prv.astype(np.uint32)
     fused[:R, CUM0:CUM0 + 4] = cum
     # sentinel row R: empty interval at big (fast-forward terminator)
     fused[R, START] = big
@@ -121,7 +137,9 @@ def _runs_of_direction(codes: np.ndarray, sa_method: str):
     fused[R, PREV0:PREV0 + 4] = R - 1
     fused[R, CUM0:CUM0 + 4] = cum[R - 1] + np.where(
         rchar[R - 1] == np.arange(4), ends[R - 1] - starts[R - 1], 0)
-    return fused, first.astype(np.int32), R
+    sa_stride = (sa_full[::LOCATE_STRIDE].astype(np.uint32)
+                 if want_stride else None)
+    return fused, first.astype(np.uint32), R, sa_stride
 
 
 @dataclass(frozen=True)
@@ -129,10 +147,11 @@ class BMoveArrays:
     """Host-side persisted arrays of one RLC index."""
 
     meta: dict
-    fused_fwd: np.ndarray   # (R_f + 1, NCOLS) int32
-    fused_rev: np.ndarray   # (R_r + 1, NCOLS) int32
-    first_row: np.ndarray   # (5,) int32: first F row per '$ACGT' char
+    fused_fwd: np.ndarray   # (R_f + 1, NCOLS) uint32
+    fused_rev: np.ndarray   # (R_r + 1, NCOLS) uint32
+    first_row: np.ndarray   # (5,) uint32: first F row per '$ACGT' char
     text: np.ndarray        # packed uint32 (2-bit), for verification
+    sa_stride: np.ndarray   # uint32 SA at every LOCATE_STRIDE-th fwd row
     seq_starts: np.ndarray
     seq_names: list
 
@@ -151,20 +170,25 @@ def build_bmove_from_codes(
     if codes.max(initial=0) > 3:
         raise ValueError("text contains non-ACGT codes; preprocess first")
     n = len(codes)
-    if n + 1 >= 2**31:
-        raise NotImplementedError("32-bit build only")
-    fused_fwd, first, r_f = _runs_of_direction(codes, sa_method)
-    fused_rev, _, r_r = _runs_of_direction(codes[::-1].copy(), sa_method)
+    from columba_tpu.index.build import MAX_N
+
+    if n > MAX_N:
+        raise ValueError(
+            f"text length {n} exceeds the uint32 index ceiling {MAX_N}")
+    fused_fwd, first, r_f, sa_stride = _runs_of_direction(
+        codes, sa_method, want_stride=True)
+    fused_rev, _, r_r, _ = _runs_of_direction(codes[::-1].copy(), sa_method)
     if seq_names is None:
         seq_names = ["seq0"]
         seq_starts = np.array([0, n], dtype=np.int64)
     meta = dict(
         format_version=INDEX_FORMAT_VERSION, flavor="rlc", n=n,
         runs_fwd=r_f, runs_rev=r_r, num_seqs=len(seq_names),
+        locate_stride=LOCATE_STRIDE,
     )
     return BMoveArrays(
         meta=meta, fused_fwd=fused_fwd, fused_rev=fused_rev,
-        first_row=first, text=pack_2bit(codes),
+        first_row=first, text=pack_2bit(codes), sa_stride=sa_stride,
         seq_starts=np.asarray(seq_starts, dtype=np.int64),
         seq_names=list(seq_names),
     )
@@ -181,7 +205,8 @@ def build_bmove(fasta_paths, out_dir=None, seed=42, sa_method="auto"):
     return idx
 
 
-_BM_FIELDS = ["fused_fwd", "fused_rev", "first_row", "text", "seq_starts"]
+_BM_FIELDS = ["fused_fwd", "fused_rev", "first_row", "text", "sa_stride",
+              "seq_starts"]
 
 
 def save_bmove(idx: BMoveArrays, out_dir: str) -> None:
@@ -202,8 +227,13 @@ def load_bmove(out_dir: str) -> BMoveArrays:
     if meta.get("format_version") != INDEX_FORMAT_VERSION:
         raise ValueError("index format mismatch; rebuild")
     seq_names = meta.pop("seq_names")
-    arrs = {name: np.load(os.path.join(out_dir, name + ".npy"))
-            for name in _BM_FIELDS}
+    try:
+        arrs = {name: np.load(os.path.join(out_dir, name + ".npy"))
+                for name in _BM_FIELDS}
+    except FileNotFoundError as e:
+        raise ValueError(
+            f"RLC index at {out_dir} is missing {e.filename} "
+            "(built by an older version?); rebuild it") from e
     return BMoveArrays(meta=meta, seq_names=seq_names, **arrs)
 
 
@@ -216,14 +246,16 @@ class BMoveIndex:
     concatenated occ layout.
     """
 
-    fused: jax.Array      # (R_f + R_r + 2, NCOLS) int32
-    first_row: jax.Array  # (5,) int32
+    fused: jax.Array      # (R_f + R_r + 2, NCOLS) uint32
+    first_row: jax.Array  # (5,) uint32
     text: jax.Array       # packed uint32 words (padded)
-    n_arr: jax.Array      # (2,) int32 [n, n+1]
+    sa_stride: jax.Array  # uint32 SA at every LOCATE_STRIDE-th fwd row
+    n_arr: jax.Array      # (2,) uint32 [n, n+1]
 
     n: int = 0
     r_fwd: int = 0        # fwd intervals (rev table rows offset by r_fwd+1)
     r_rev: int = 0
+    stride: int = LOCATE_STRIDE
 
     @staticmethod
     def from_arrays(arrays: BMoveArrays) -> "BMoveIndex":
@@ -231,13 +263,17 @@ class BMoveIndex:
         text = np.concatenate([arrays.text, np.zeros(16, dtype=np.uint32)])
         fused = np.concatenate([arrays.fused_fwd, arrays.fused_rev])
         return BMoveIndex(
-            fused=jnp.asarray(fused),
-            first_row=jnp.asarray(arrays.first_row),
+            fused=jnp.asarray(np.asarray(fused, dtype=np.uint32)),
+            first_row=jnp.asarray(
+                np.asarray(arrays.first_row, dtype=np.uint32)),
             text=jnp.asarray(text),
-            n_arr=jnp.asarray([n, n + 1], dtype=jnp.int32),
+            sa_stride=jnp.asarray(
+                np.asarray(arrays.sa_stride, dtype=np.uint32)),
+            n_arr=jnp.asarray(np.asarray([n, n + 1], dtype=np.uint32)),
             n=n,
             r_fwd=arrays.meta["runs_fwd"],
             r_rev=arrays.meta["runs_rev"],
+            stride=arrays.meta.get("locate_stride", LOCATE_STRIDE),
         )
 
     @property
@@ -253,12 +289,12 @@ class BMoveIndex:
         big = self.n + 1
         r = jnp.array(
             [0, big, 0, big, 0, self.r_fwd - 1, 0, self.r_rev - 1],
-            dtype=jnp.int32)
+            dtype=jnp.uint32)
         return jnp.broadcast_to(r, (*batch_shape, 8))
 
 
 jax.tree_util.register_dataclass(
     BMoveIndex,
-    data_fields=["fused", "first_row", "text", "n_arr"],
-    meta_fields=["n", "r_fwd", "r_rev"],
+    data_fields=["fused", "first_row", "text", "sa_stride", "n_arr"],
+    meta_fields=["n", "r_fwd", "r_rev", "stride"],
 )

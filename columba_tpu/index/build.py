@@ -11,7 +11,7 @@ layout:
     similarly leaves '$' out of its occ bitvectors, src/fmindex/bwtrepr.h)
   - ``occ``/``rocc`` : per-128-char block checkpoints of occ(c, block_start),
     i.e. the L1/L2 counts of the reference's interleaved rank9 bitvector
-    (src/bitvec.h:234-478) re-laid-out as a dense (blocks, 4) int32 array so a
+    (src/bitvec.h:234-478) re-laid-out as a dense (blocks, 4) uint32 array so a
     batched rank is one row gather + popcount-style in-block reduction.
   - sparse SA samples at SA[i] % f == 0 with a marker bitvector
     (reference: src/fmindex/suffixArray.h)
@@ -34,6 +34,12 @@ INDEX_FORMAT_VERSION = 1
 BLOCK = 128          # chars per occ checkpoint block
 WORDS_PER_BLOCK = BLOCK // 16
 
+# Largest supported text: device positions are uint32 with a 2^18 guard band
+# reserved for wrapped-negative window starts (ops/verify.py NEG_T) — one
+# index covers genomes to ~4.29 Gbp, the reference's 64-bit length_t regime
+# (src/definitions.h:69-75) without widening any hot-path word.
+MAX_N = 2**32 - 2**18
+
 
 @dataclass
 class IndexArrays:
@@ -43,12 +49,12 @@ class IndexArrays:
     text: np.ndarray        # packed uint32, 16 bases/word, n bases
     bwt: np.ndarray         # packed uint32 (N = n+1 slots incl. '$' as A)
     rbwt: np.ndarray
-    occ: np.ndarray         # (blocks, 4) int32 checkpoint counts
+    occ: np.ndarray         # (blocks, 4) uint32 checkpoint counts
     rocc: np.ndarray
-    counts: np.ndarray      # (4,) int32: first SA row of A,C,G,T
-    sa_samples: np.ndarray  # int32 sampled SA values, in SA-row order
+    counts: np.ndarray      # (4,) uint32: first SA row of A,C,G,T
+    sa_samples: np.ndarray  # uint32 sampled SA values, in SA-row order
     sa_bits: np.ndarray     # packed uint32 marker bitvector over N rows
-    sa_bits_rank: np.ndarray  # (blocks,) int32: set bits before each 128-bit block
+    sa_bits_rank: np.ndarray  # (blocks,) uint32: set bits before each 128-bit block
     seq_starts: np.ndarray  # (num_seqs+1,) int64 cumulative start offsets
     seq_names: list[str] = field(default_factory=list)
 
@@ -66,13 +72,24 @@ class IndexArrays:
 
 
 def pack_2bit(codes: np.ndarray) -> np.ndarray:
-    """uint8 codes (0..3) -> packed uint32, 16 codes/word, little-end first."""
+    """uint8 codes (0..3) -> packed uint32, 16 codes/word, little-end first.
+
+    Chunked (64M codes) so multi-Gbp builds never materialize a 4B/char
+    temporary."""
     n = len(codes)
     n_words = (n + 15) // 16
-    padded = np.zeros(n_words * 16, dtype=np.uint32)
-    padded[:n] = codes
+    out = np.empty(n_words, dtype=np.uint32)
     shifts = (2 * np.arange(16, dtype=np.uint32))[None, :]
-    return np.bitwise_or.reduce(padded.reshape(-1, 16) << shifts, axis=1).astype(np.uint32)
+    CH = 1 << 26  # codes per chunk (multiple of 16)
+    for lo in range(0, n_words * 16, CH):
+        hi = min(lo + CH, n_words * 16)
+        chunk = np.zeros(hi - lo, dtype=np.uint32)
+        top = min(n, hi)
+        if top > lo:
+            chunk[: top - lo] = codes[lo:top]
+        out[lo // 16: hi // 16] = np.bitwise_or.reduce(
+            chunk.reshape(-1, 16) << shifts, axis=1).astype(np.uint32)
+    return out
 
 
 def unpack_2bit(words: np.ndarray, n: int) -> np.ndarray:
@@ -82,7 +99,7 @@ def unpack_2bit(words: np.ndarray, n: int) -> np.ndarray:
 
 
 def _occ_checkpoints(codes: np.ndarray, n_rows: int) -> np.ndarray:
-    """(blocks, 4) int32 checkpoints: count of code c in codes[0:128*b)."""
+    """(blocks, 4) uint32 checkpoints: count of code c in codes[0:128*b)."""
     blocks = (n_rows >> 7) + 1
     padded = np.zeros(blocks * BLOCK, dtype=np.uint8)
     padded[:n_rows] = codes[:n_rows]
@@ -92,21 +109,23 @@ def _occ_checkpoints(codes: np.ndarray, n_rows: int) -> np.ndarray:
         per_block[:, c] = (view == c).sum(axis=1)
     ckpt = np.zeros((blocks, 4), dtype=np.int64)
     np.cumsum(per_block[:-1], axis=0, out=ckpt[1:])
-    return ckpt.astype(np.int32)
+    return ckpt.astype(np.uint32)
 
 
 def _pack_bits(bits: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """bool array -> (packed uint32 words, per-128-bit-block rank ckpts)."""
+    """bool array -> (packed uint32 words, per-128-bit-block rank ckpts).
+
+    Bit (pos & 31) of word pos>>5, little-endian within each byte — i.e.
+    numpy packbits(bitorder='little') viewed as little-endian uint32."""
     n = len(bits)
     blocks = (n >> 7) + 1
     padded = np.zeros(blocks * BLOCK, dtype=np.uint8)
     padded[:n] = bits
-    weights = (1 << np.arange(32, dtype=np.uint64))[None, :]
-    words = (padded.reshape(-1, 32).astype(np.uint64) * weights).sum(axis=1).astype(np.uint32)
-    per_block = padded.reshape(blocks, BLOCK).sum(axis=1)
+    words = np.packbits(padded, bitorder="little").view("<u4").copy()
+    per_block = padded.reshape(blocks, BLOCK).sum(axis=1, dtype=np.int64)
     rank = np.zeros(blocks, dtype=np.int64)
     np.cumsum(per_block[:-1], out=rank[1:])
-    return words, rank.astype(np.int32)
+    return words, rank.astype(np.uint32)
 
 
 def _minstd_uniform4(count: int) -> np.ndarray:
@@ -207,27 +226,55 @@ def build_index_from_codes(
         raise ValueError("text contains non-ACGT codes; preprocess first")
     n = len(codes)
     big = n + 1  # rows incl. '$'
-    if big >= 2**31:
-        raise NotImplementedError("32-bit build only (text must be < 2^31)")
+    if n > MAX_N:
+        raise ValueError(
+            f"text length {n} exceeds the uint32 index ceiling {MAX_N} "
+            "(~4.29 Gbp); split the input or use the RLC flavor per bin")
 
-    def bwt_of(text: np.ndarray) -> tuple[np.ndarray, int]:
-        """BWT rows of text+'$' with '$' slot as code 0; returns dollar row."""
+    CH = 1 << 26  # chunk length for multi-Gbp temporaries
+
+    def bwt_of(text: np.ndarray):
+        """BWT rows of text+'$' with '$' slot as code 0.
+
+        Returns (bwt codes (big,), dollar row, sa (n,) int64). Chunked
+        gathers: a GRCh38-scale build must not allocate int64 temporaries
+        of the whole text beyond the SA itself."""
         sa = suffix_array(text, method=sa_method)
-        sa_full = np.empty(big, dtype=np.int64)
-        sa_full[0] = n
-        sa_full[1:] = sa
-        prev = sa_full - 1
-        dollar_row = int(np.nonzero(sa_full == 0)[0][0])
-        prev[dollar_row] = n  # placeholder; slot stored as code 0
-        bwt_codes = np.where(prev == n, 0, text[np.clip(prev, 0, n - 1)]).astype(np.uint8)
-        bwt_codes[dollar_row] = 0
-        return bwt_codes, dollar_row, sa_full
+        dollar_row = int(np.nonzero(sa == 0)[0][0]) + 1  # +1: '$' row first
+        bwt_codes = np.empty(big, dtype=np.uint8)
+        bwt_codes[0] = text[n - 1]
+        for lo in range(0, n, CH):
+            hi = min(lo + CH, n)
+            idx = sa[lo:hi] - 1
+            np.maximum(idx, 0, out=idx)
+            bwt_codes[lo + 1:hi + 1] = text[idx]
+        bwt_codes[dollar_row] = 0  # '$' slot stored as code 0
+        return bwt_codes, dollar_row, sa
 
-    bwt_codes, dollar_fwd, sa_full = bwt_of(codes)
-    rcodes = codes[::-1].copy()
-    rbwt_codes, dollar_rev, _ = bwt_of(rcodes)
-
+    f = int(sa_sparseness)
+    bwt_codes, dollar_fwd, sa = bwt_of(codes)
     occ = _occ_checkpoints(bwt_codes, big)
+    # sparse SA sampling over sa_full = [n] + sa
+    sampled = np.empty(big, dtype=bool)
+    sampled[0] = (n % f) == 0
+    for lo in range(0, n, CH):
+        hi = min(lo + CH, n)
+        np.equal(sa[lo:hi] % f, 0, out=sampled[lo + 1:hi + 1])
+    sa_samples = np.empty(int(sampled.sum()), dtype=np.uint32)
+    if sampled[0]:
+        sa_samples[0] = n
+    w = int(sampled[0])
+    for lo in range(0, n, CH):
+        hi = min(lo + CH, n)
+        vals = sa[lo:hi][sampled[lo + 1:hi + 1]]
+        sa_samples[w:w + len(vals)] = vals
+        w += len(vals)
+    sa_bits, sa_bits_rank = _pack_bits(sampled)
+    del sa, sampled
+
+    rcodes = codes[::-1].copy()
+    rbwt_codes, dollar_rev, rsa = bwt_of(rcodes)
+    del rsa, rcodes
     rocc = _occ_checkpoints(rbwt_codes, big)
 
     char_counts = np.bincount(codes, minlength=4).astype(np.int64)
@@ -235,11 +282,6 @@ def build_index_from_codes(
     counts[0] = 1  # '$'
     np.cumsum(char_counts[:-1], out=counts[1:])
     counts[1:] += 1
-
-    f = int(sa_sparseness)
-    sampled = (sa_full % f) == 0
-    sa_samples = sa_full[sampled].astype(np.int32)
-    sa_bits, sa_bits_rank = _pack_bits(sampled)
 
     if seq_names is None:
         seq_names = ["seq0"]
@@ -260,7 +302,7 @@ def build_index_from_codes(
         rbwt=pack_2bit(_pad_to_blocks(rbwt_codes)),
         occ=occ,
         rocc=rocc,
-        counts=counts.astype(np.int32),
+        counts=counts.astype(np.uint32),
         sa_samples=sa_samples,
         sa_bits=sa_bits,
         sa_bits_rank=sa_bits_rank,

@@ -42,13 +42,13 @@ class FMIndex:
                           # Rows are PADDED 48->64B: XLA:TPU row gathers of
                           # lane-aligned 64B rows are up to 4.6x faster than
                           # 48B rows (measured, tools/gather_bench.py)
-    counts: jax.Array     # (4,) int32 first SA row per char (A,C,G,T)
-    dollar: jax.Array     # (2,) int32: '$' row in [fwd, rev] BWT
+    counts: jax.Array     # (4,) uint32 first SA row per char (A,C,G,T)
+    dollar: jax.Array     # (2,) uint32: '$' row in [fwd, rev] BWT
     text: jax.Array       # packed uint32 genome words (padded)
-    sa_samples: jax.Array  # int32, SA values at sampled rows, SA-row order
+    sa_samples: jax.Array  # uint32, SA values at sampled rows, SA-row order
     sa_bits: jax.Array     # packed uint32 marker bits over rows
-    sa_bits_rank: jax.Array  # (blocks,) int32
-    n_arr: jax.Array      # (2,) int32: [n (text length), n+1 (rows)]
+    sa_bits_rank: jax.Array  # (blocks,) uint32
+    n_arr: jax.Array      # (2,) uint32: [n (text length), n+1 (rows)]
 
     # -- static metadata (not traced) --
     n: int = 0
@@ -67,17 +67,22 @@ class FMIndex:
         fused = np.zeros((2 * blocks, 16), dtype=np.uint32)
         fused[:, :4] = occ_cat.astype(np.uint32)
         fused[:, 4:12] = words_cat
+        # positions/counts are uint32 on device (single-index genomes to
+        # ~4.29 Gbp; round-1 indexes persisted int32 load via the cast)
         return FMIndex(
             occ_fused=jnp.asarray(fused),
-            counts=jnp.asarray(arrays.counts),
+            counts=jnp.asarray(np.asarray(arrays.counts, dtype=np.uint32)),
             dollar=jnp.asarray(
-                [arrays.dollar_fwd, arrays.dollar_rev], dtype=jnp.int32
+                np.asarray([arrays.dollar_fwd, arrays.dollar_rev],
+                           dtype=np.uint32)
             ),
             text=jnp.asarray(text),
-            sa_samples=jnp.asarray(arrays.sa_samples),
+            sa_samples=jnp.asarray(
+                np.asarray(arrays.sa_samples, dtype=np.uint32)),
             sa_bits=jnp.asarray(arrays.sa_bits),
-            sa_bits_rank=jnp.asarray(arrays.sa_bits_rank),
-            n_arr=jnp.asarray([n, n + 1], dtype=jnp.int32),
+            sa_bits_rank=jnp.asarray(
+                np.asarray(arrays.sa_bits_rank, dtype=np.uint32)),
+            n_arr=jnp.asarray(np.asarray([n, n + 1], dtype=np.uint32)),
             n=n,
             blocks=blocks,
             sa_sparseness=arrays.meta["sa_sparseness"],
@@ -89,7 +94,7 @@ class FMIndex:
 
     def full_range(self, batch_shape=()) -> jax.Array:
         """The whole-index SARangePair [0, n+1, 0, n+1) broadcast to batch."""
-        r = jnp.array([0, self.n + 1, 0, self.n + 1], dtype=jnp.int32)
+        r = jnp.array([0, self.n + 1, 0, self.n + 1], dtype=jnp.uint32)
         return jnp.broadcast_to(r, (*batch_shape, 4))
 
 

@@ -62,9 +62,10 @@ def build_kmer_table(index: FMIndex, K: int = DEFAULT_K) -> jax.Array:
 def lookup(table: jax.Array, chars: jax.Array) -> jax.Array:
     """Gather (…, 4) ranges for k-mers given as (…, K) char windows.
 
-    Windows containing N yield empty ranges.
+    Windows containing N yield empty ranges. Ranges are uint32 (tables
+    persisted as int32 by round-1 caches are bit-identical; cast on read).
     """
     code = pack_codes(chars)
     safe = jnp.clip(code, 0, table.shape[0] - 1)
-    out = table[safe]
+    out = table[safe].astype(jnp.uint32)
     return jnp.where((code >= 0)[..., None], out, jnp.zeros_like(out))

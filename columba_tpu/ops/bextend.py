@@ -59,13 +59,17 @@ def _ff_backward(index: BMoveIndex, off, run, pos):
 
 
 def extend_all(index: BMoveIndex, ranges: jax.Array, dirs: jax.Array) -> jax.Array:
-    """Extend every node by all 4 characters. ranges: (..., 8) int32.
+    """Extend every node by all 4 characters. ranges: (..., 8) uint32
+    (positions; run-hint slots carry int32 bit patterns).
 
     Returns (..., 4, 8) children (empty children have hi <= lo and zeroed
     hints). Dead input lanes must be all-zero (safe gathers).
     """
+    ranges = ranges.astype(jnp.uint32)
     f_lo, f_hi, r_lo, r_hi = (ranges[..., i] for i in range(4))
-    fr_lo, fr_hi1, rr_lo, rr_hi1 = (ranges[..., i] for i in range(4, 8))
+    # run hints are indices < 2^31: bit-cast back to signed for arithmetic
+    fr_lo, fr_hi1, rr_lo, rr_hi1 = (
+        ranges[..., i].astype(jnp.int32) for i in range(4, 8))
     bwd = dirs == 0
     off_a = jnp.where(bwd, 0, index.r_fwd + 1)
     off_b = jnp.where(bwd, index.r_fwd + 1, 0)
@@ -77,16 +81,20 @@ def extend_all(index: BMoveIndex, ranges: jax.Array, dirs: jax.Array) -> jax.Arr
     b_run_lo = jnp.where(bwd, rr_lo, fr_lo)
     b_run_hi1 = jnp.where(bwd, rr_hi1, fr_hi1)
 
-    row_lo = index.fused[off_a + a_run_lo]        # (..., NCOLS)
+    row_lo = index.fused[off_a + a_run_lo]        # (..., NCOLS) uint32
     row_hi = index.fused[off_a + a_run_hi1]
+    char_lo = row_lo[..., CHAR].astype(jnp.int32)
+    char_hi = row_hi[..., CHAR].astype(jnp.int32)
 
     cvec = jnp.arange(4, dtype=jnp.int32)
     occ_lo = (row_lo[..., CUM0:CUM0 + 4]
-              + jnp.where(row_lo[..., CHAR, None] == cvec,
-                          (a_lo - row_lo[..., START])[..., None], 0))
+              + jnp.where(char_lo[..., None] == cvec,
+                          (a_lo - row_lo[..., START])[..., None],
+                          jnp.uint32(0)))
     occ_hi = (row_hi[..., CUM0:CUM0 + 4]
-              + jnp.where(row_hi[..., CHAR, None] == cvec,
-                          (a_hi - row_hi[..., START])[..., None], 0))
+              + jnp.where(char_hi[..., None] == cvec,
+                          (a_hi - row_hi[..., START])[..., None],
+                          jnp.uint32(0)))
     width = occ_hi - occ_lo                                    # (..., 4)
     new_a_lo = index.first_row[:4] + occ_lo
     new_a_hi = new_a_lo + width
@@ -100,16 +108,16 @@ def extend_all(index: BMoveIndex, ranges: jax.Array, dirs: jax.Array) -> jax.Arr
     # ---- active-side run hints via LF of the first/last c-run touched ----
     # first c-position >= a_lo sits in run_lo itself (if it is a c-run) or
     # in next_run_of_c; symmetric for the last c-position < a_hi.
-    run_p = jnp.where(row_lo[..., CHAR, None] == cvec,
-                      a_run_lo[..., None], row_lo[..., NEXT0:NEXT0 + 4])
-    run_q = jnp.where(row_hi[..., CHAR, None] == cvec,
-                      a_run_hi1[..., None], row_hi[..., PREV0:PREV0 + 4])
+    run_p = jnp.where(char_lo[..., None] == cvec, a_run_lo[..., None],
+                      row_lo[..., NEXT0:NEXT0 + 4].astype(jnp.int32))
+    run_q = jnp.where(char_hi[..., None] == cvec, a_run_hi1[..., None],
+                      row_hi[..., PREV0:PREV0 + 4].astype(jnp.int32))
     run_p = jnp.clip(run_p, 0, None)
     run_q = jnp.clip(run_q, 0, None)
     row_p = index.fused[off_a[..., None] + run_p]   # (..., 4, NCOLS)
     row_q = index.fused[off_a[..., None] + run_q]
-    hint_lo0 = row_p[..., LF_RUN]
-    hint_hi0 = row_q[..., LF_RUN]
+    hint_lo0 = row_p[..., LF_RUN].astype(jnp.int32)
+    hint_hi0 = row_q[..., LF_RUN].astype(jnp.int32)
 
     ok = width > 0
     # fast-forward all hints in one batch: (..., 4, 4) =
@@ -135,7 +143,7 @@ def extend_all(index: BMoveIndex, ranges: jax.Array, dirs: jax.Array) -> jax.Arr
 
     hb_run = jnp.where(ok, jnp.broadcast_to(b_run_hi1[..., None], ok.shape), 0)
     hb_off = jnp.where(ok, jnp.broadcast_to(off_b[..., None], ok.shape), 0)
-    hb_pos = jnp.where(ok, new_b_hi - 1, 0)
+    hb_pos = jnp.where(ok, new_b_hi - 1, jnp.uint32(0))
     hb_run = _ff_backward(index, hb_off, jnp.clip(hb_run, 0, None), hb_pos)
 
     new_a_rlo, new_a_rhi1 = ffr[..., 0], ffr[..., 1]
@@ -143,11 +151,12 @@ def extend_all(index: BMoveIndex, ranges: jax.Array, dirs: jax.Array) -> jax.Arr
 
     z = jnp.zeros_like(new_a_lo)
     sel = lambda x, y: jnp.where(bwd[..., None], x, y)
+    u32 = lambda x: x.astype(jnp.uint32)
     out = jnp.stack([
         sel(new_a_lo, new_b_lo), sel(new_a_hi, new_b_hi),
         sel(new_b_lo, new_a_lo), sel(new_b_hi, new_a_hi),
-        sel(new_a_rlo, new_b_rlo), sel(new_a_rhi1, new_b_rhi1),
-        sel(new_b_rlo, new_a_rlo), sel(new_b_rhi1, new_a_rhi1),
+        u32(sel(new_a_rlo, new_b_rlo)), u32(sel(new_a_rhi1, new_b_rhi1)),
+        u32(sel(new_b_rlo, new_a_rlo)), u32(sel(new_b_rhi1, new_a_rhi1)),
     ], axis=-1)                                               # (..., 4, 8)
     return jnp.where(ok[..., None], out, z[..., None])
 

@@ -1,12 +1,15 @@
-"""Batched locate on the b-move index: LF-walk to a run-boundary sample.
+"""Batched locate on the b-move index: bounded LF-walk to an SA sample.
 
-Every run head and tail carries its SA value (the reference's .smpf/.smpl
-samples, src/bmove/bmove.cpp:45-189), so SA[row] = SA[LF^t(row)] + t for
-the first t at which the walk lands on a run boundary — expected t is half
-the average run length. The reference instead maintains a toehold through
-every extension and enumerates ranges by phi-walking (bmove.cpp:503-547);
-that is a sequential pointer chase per occurrence list, while per-row
-LF-walks are uniform lanes a TPU batches for free.
+SA[row] = SA[LF^t(row)] + t for the first t at which the walk lands on a
+sampled row. Samples sit at every run head and tail (the reference's
+.smpf/.smpl, src/bmove/bmove.cpp:45-189) AND at every LOCATE_STRIDE-th BWT
+row (index/bmove.py), so t <= LOCATE_STRIDE no matter how long the runs
+are — on the repetitive pan-genomes RLC exists for (r << n, huge runs),
+boundary samples alone would make the expected walk (run length)/2. The
+reference instead maintains a toehold through every extension and
+enumerates ranges by phi-walking bounded by PLCP (bmove.cpp:503-547,
+plcp.h:59-130); that is a sequential pointer chase per occurrence list,
+while bounded per-row LF-walks are uniform lanes a TPU batches for free.
 """
 
 from __future__ import annotations
@@ -21,10 +24,11 @@ from columba_tpu.index.bmove import (
 
 def run_of_rows(index: BMoveIndex, rows: jax.Array) -> jax.Array:
     """Binary-search the fwd run interval containing each row."""
+    rows = rows.astype(jnp.uint32)
     R = index.r_fwd
     steps = max(1, (R + 1).bit_length())
-    lo = jnp.zeros_like(rows)
-    hi = jnp.full_like(rows, R - 1)
+    lo = jnp.zeros(rows.shape, jnp.int32)
+    hi = jnp.full(rows.shape, R - 1, jnp.int32)
     for _ in range(steps):
         mid = (lo + hi + 1) >> 1
         go = index.fused[mid, START] <= rows
@@ -34,15 +38,23 @@ def run_of_rows(index: BMoveIndex, rows: jax.Array) -> jax.Array:
 
 
 def locate_rows(index: BMoveIndex, rows: jax.Array) -> jax.Array:
-    """Text position for each fwd-BWT row (batched LF-walks)."""
+    """Text position for each fwd-BWT row (bounded LF-walks), uint32."""
+    rows = rows.astype(jnp.uint32)
     runs = run_of_rows(index, rows)
+    smask = jnp.uint32(index.stride - 1)
 
     def at_boundary(pos, run):
         row = index.fused[run]
         head = pos == row[..., START]
         tail = pos == row[..., END] - 1
+        strided = (pos & smask) == 0
         val = jnp.where(head, row[..., SA_FIRST], row[..., SA_LAST])
-        return head | tail, val
+        val = jnp.where(
+            strided & ~(head | tail),
+            index.sa_stride[(pos >> index.stride.bit_length() - 1
+                             ).astype(jnp.int32)],
+            val)
+        return head | tail | strided, val
 
     def cond(c):
         pos, run, steps, done, val = c
@@ -52,15 +64,17 @@ def locate_rows(index: BMoveIndex, rows: jax.Array) -> jax.Array:
         pos, run, steps, done, val = c
         row = index.fused[run]
         new_pos = row[..., LF_POS] + (pos - row[..., START])
-        new_run = row[..., LF_RUN]
+        new_run = row[..., LF_RUN].astype(jnp.int32)
         # fast-forward (bounded by interval overlap)
         def ffc(cc):
             r, _ = cc
-            return jnp.any(index.fused[r, END] <= jnp.where(done, 0, new_pos))
+            return jnp.any(index.fused[r, END]
+                           <= jnp.where(done, jnp.uint32(0), new_pos))
 
         def ffb(cc):
             r, it = cc
-            adv = index.fused[r, END] <= jnp.where(done, 0, new_pos)
+            adv = (index.fused[r, END]
+                   <= jnp.where(done, jnp.uint32(0), new_pos))
             return jnp.where(adv, r + 1, r), it + 1
 
         new_run, _ = jax.lax.while_loop(
@@ -74,7 +88,8 @@ def locate_rows(index: BMoveIndex, rows: jax.Array) -> jax.Array:
         return pos, run, steps, nd, val
 
     bnd0, v0 = at_boundary(rows, runs)
-    init = (rows, runs, jnp.zeros_like(rows), bnd0, jnp.where(bnd0, v0, 0))
+    init = (rows, runs, jnp.zeros(rows.shape, jnp.uint32), bnd0,
+            jnp.where(bnd0, v0, jnp.uint32(0)))
     _, _, _, _, val = jax.lax.while_loop(cond, body, init)
     n = index.n_arr[0]
     # row for suffix '$' (pos n) maps to n; clamp like the FM path

@@ -10,8 +10,13 @@ reverse range from cumulative occ the same way).
 
 Direction handling: dir==0 extends backward (prepend char; queries fwd BWT),
 dir==1 extends forward (append char; queries rev BWT). With the concatenated
-BWT/occ layout (see index.fmindex) direction is a block offset, so frontiers
-may freely mix directions.
+BWT/occ layout (see index.fmindex) direction is a block-row offset, so
+frontiers may freely mix directions.
+
+Ranges are **uint32** (genomes to ~4.29 Gbp on one index; the reference's
+64-bit length_t analogue, src/definitions.h:69-75): all interval arithmetic
+here is add/subtract of non-negative in-range values, so unsigned wrap never
+occurs on live lanes.
 """
 
 from __future__ import annotations
@@ -26,23 +31,24 @@ from columba_tpu.ops import rank
 def _occ_dir(index: FMIndex, pos: jax.Array, dirs: jax.Array):
     """occ for all 4 chars at `pos` in the BWT selected by `dirs`.
 
-    Returns (occ (...,4) with '$' slot removed, dollar count (...,)).
+    Returns (occ (...,4) uint32 with '$' slot removed, dollar count (...,)).
     """
-    blk_off = dirs.astype(jnp.int32) * index.blocks
-    # occ_all computes blk = pos >> 7 internally; shift pos by whole blocks.
-    shifted = pos.astype(jnp.int32) + (blk_off << 7)
-    raw = rank.occ_all(index.occ_fused, shifted)
+    # direction selects the fwd or rev half of the concatenated occ table —
+    # a BLOCK-ROW offset into the gather, not a position shift (positions
+    # must stay < 2^32)
+    blk_extra = dirs.astype(jnp.int32) * index.blocks
+    raw = rank.occ_all(index.occ_fused, pos, blk_extra)
     # select, don't gather: tiny-table gathers by traced index are slow
     dollar_row = jnp.where(dirs == 0, index.dollar[0], index.dollar[1])
-    d = (dollar_row < pos).astype(jnp.int32)
-    raw = raw.at[..., 0].add(-d)
+    d = rank.cnt_dollar(dollar_row, pos)
+    raw = raw.at[..., 0].add(-d)  # uint32 wrap-safe: occ[0] >= d always
     return raw, d
 
 
 def extend_all(index, ranges: jax.Array, dirs: jax.Array) -> jax.Array:
     """Extend every node by all 4 characters.
 
-    ranges: (..., 4) int32 [f_lo, f_hi, r_lo, r_hi); dirs: (...,) int32.
+    ranges: (..., 4) uint32 [f_lo, f_hi, r_lo, r_hi); dirs: (...,) int32.
     Returns (..., 4, 4): child range for chars A,C,G,T. Empty children have
     hi <= lo. RLC indexes use 8-wide ranges with run hints (ops/bextend).
     """
@@ -50,6 +56,7 @@ def extend_all(index, ranges: jax.Array, dirs: jax.Array) -> jax.Array:
         from columba_tpu.ops import bextend
 
         return bextend.extend_all(index, ranges, dirs)
+    ranges = ranges.astype(jnp.uint32)
     f_lo, f_hi, r_lo, r_hi = (ranges[..., i] for i in range(4))
     bwd = dirs == 0
     a_lo = jnp.where(bwd, f_lo, r_lo)
@@ -69,7 +76,7 @@ def extend_all(index, ranges: jax.Array, dirs: jax.Array) -> jax.Array:
     d_lo = d2[:half].reshape(lead)
     d_hi = d2[half:].reshape(lead)
 
-    counts = index.counts  # (4,)
+    counts = index.counts  # (4,) uint32
     new_a_lo = counts + occ_lo          # (..., 4)
     new_a_hi = counts + occ_hi
     width = new_a_hi - new_a_lo

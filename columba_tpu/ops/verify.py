@@ -24,25 +24,35 @@ from columba_tpu.ops import rank
 from columba_tpu.search.schedule import INF
 
 
+NEG_T = jnp.uint32(2**32 - 2**17)  # uint32 starts >= NEG_T are wrapped
+                                   # negatives (build caps n at 2^32 - 2^18,
+                                   # reads at < 2^17 chars, so legitimate
+                                   # window starts never reach NEG_T)
+
+
 def gather_window(index: FMIndex, starts: jax.Array, width: int) -> jax.Array:
-    """Text codes (B, width) starting at `starts`; out-of-range -> 4.
+    """Text codes (B, width) starting at `starts` (uint32, wrapped-negative
+    for starts below 0); out-of-range -> 4.
 
     Fetches whole 16-char words via row gathers on a 2D view of the packed
     text (per-character gathers are ~width x slower on TPU), then aligns
     the window with word-level selects and bit shifts — NO per-element
     fancy gather (take_along_axis over (B, chars) was the old hot spot).
     """
+    starts = starts.astype(jnp.uint32)
     nblk = -(-(width + 127) // 128)  # blocks so offset(<=127)+width fits
     n = index.n_arr[0]
     text2d = index.text[: (index.text.shape[0] // 8) * 8].reshape(-1, 8)
     nb = text2d.shape[0]
-    start_blk = jnp.clip(starts, 0, None) >> 7              # 128-char blocks
+    is_neg = starts >= NEG_T
+    eff = jnp.where(is_neg, jnp.uint32(0), starts)          # anchor neg at 0
+    start_blk = (eff >> 7).astype(jnp.int32)                # 128-char blocks
     wvals = jnp.concatenate(
         [text2d[jnp.clip(start_blk + i, 0, nb - 1)] for i in range(nblk + 1)],
         axis=1)                                             # (B, 8*(nblk+1))
     B = wvals.shape[0]
     nw_in = wvals.shape[1]
-    off = jnp.clip(starts, 0, None) - (start_blk << 7)      # (B,) in [0,127]
+    off = (eff & jnp.uint32(127)).astype(jnp.int32)         # (B,) in [0,127]
 
     # 1) word-align: rotate out the off>>4 leading words (8-way unrolled
     # select; off < 128 so at most 8 word shifts)
@@ -67,19 +77,22 @@ def gather_window(index: FMIndex, starts: jax.Array, width: int) -> jax.Array:
     shifts = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
     chars = ((shifted[..., None] >> shifts) & 3).astype(jnp.int32)
     codes = chars.reshape(B, -1)[:, :width]
-    # 4) negative starts: the clip above anchored the window at text pos 0,
-    # so roll the content RIGHT by |start| to put text[start+j] at column j
-    # (window starts go only kb below 0; unrolled small-shift selects).
-    # Without this, occurrences within kb of the text start score against
-    # a shifted window and are LOST.
-    neg = jnp.maximum(-starts, 0)                           # (B,)
+    # 4) negative starts: `eff` anchored the window at text pos 0, so roll
+    # the content RIGHT by |start| to put text[start+j] at column j (window
+    # starts go only kb below 0; unrolled small-shift selects). Without
+    # this, occurrences within kb of the text start score against a
+    # shifted window and are LOST.
+    neg = jnp.where(is_neg, jnp.uint32(0) - starts,
+                    jnp.uint32(0)).astype(jnp.int32)        # (B,) |start|
     max_neg = int(min(width - 1, 32))
     for s in range(1, max_neg + 1):
         rolled = jnp.concatenate(
             [jnp.full((B, s), 4, codes.dtype), codes[:, :-s]], axis=1)
         codes = jnp.where((neg == s)[:, None], rolled, codes)
-    pos = starts[:, None] + jnp.arange(width, dtype=jnp.int32)[None, :]
-    inb = (pos >= 0) & (pos < n)
+    # positions wrap in uint32: anything below 0 or >= n lands outside [0,n)
+    pos = starts[:, None] + jnp.arange(width, dtype=jnp.int32).astype(
+        jnp.uint32)[None, :]
+    inb = pos < n
     return jnp.where(inb, codes, 4)
 
 

@@ -338,7 +338,11 @@ def dynamic_partition(
 
     def body(carry, _):
         begins, ends, ranges = carry
-        widths = ranges[..., 1] - ranges[..., 0]              # (R,p)
+        # uint32 widths, clamped to 2^30 and cast signed for the weighted
+        # argmax / sentinel arithmetic (distinctions above 2^30 exact
+        # matches carry no information for partitioning)
+        widths = jnp.minimum(ranges[..., 1] - ranges[..., 0],
+                             jnp.uint32(1 << 30)).astype(jnp.int32)  # (R,p)
         prev_end = jnp.concatenate(
             [jnp.zeros((R, 1), jnp.int32), ends[:, :-1]], axis=1)
         next_beg = jnp.concatenate(

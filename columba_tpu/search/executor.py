@@ -37,7 +37,7 @@ from columba_tpu.search.schedule import INF, Schedule
 class FrontierResult:
     """Final frontier after a scheme run (candidate hits where done)."""
 
-    ranges: jax.Array     # (C, 4) SA range pairs
+    ranges: jax.Array     # (C, 4) uint32 SA range pairs
     rid: jax.Array        # (C,) read row
     sid: jax.Array        # (C,) search id
     ed_lb: jax.Array      # (C,) colMin_back + colMin_fwd (exact-extent ED lower bound)
@@ -47,7 +47,7 @@ class FrontierResult:
     # in-text verification crossover (switchpoint > 0): nodes whose range
     # narrowed to <= switchpoint left the frontier into this buffer
     # (reference: src/indexinterface.cpp:340-375 goToInTextVerificationEdit)
-    itv: jax.Array        # (M, 4) int32 rows [f_lo, f_hi, ids, back_depth]
+    itv: jax.Array        # (M, 4) uint32 rows [f_lo, f_hi, ids, back_depth]
     itv_count: jax.Array  # () int32 valid rows (clamped to M)
     searches_started: jax.Array = 0  # () int32 searches entering the band
                                      # phase (reference SEARCH_STARTED)
@@ -181,7 +181,7 @@ def _pack_state(ranges, ids, band, colmin, bw, W):
 
 def _unpack_state(packed, bw, W, rw=4):
     lead = packed.shape[:-1]
-    ranges = packed[..., :rw].astype(jnp.int32)
+    ranges = packed[..., :rw]  # uint32 (rows/positions; run hints bitcast)
     ids = packed[..., rw].astype(jnp.int32)
     nb = 2 * bw + 2 * W
     nw = (nb + 3) // 4
@@ -286,7 +286,7 @@ def run_scheme(
     # occurrences must still reach locate/verify), so it exists even with
     # the crossover off
     M = max(int(itv_cap), 4096)
-    itv_buf0 = jnp.zeros((M + 1, 4), jnp.int32)
+    itv_buf0 = jnp.zeros((M + 1, 4), jnp.uint32)
     itv_cnt0 = jnp.zeros((), jnp.int32)
     L = R * S
     ids0 = rid0 * S + sid0
@@ -304,7 +304,9 @@ def run_scheme(
         narrow = (width > 0) & (width <= switchpoint) & allow
         npos = jnp.cumsum(narrow.astype(jnp.int32)) - 1
         dest = jnp.where(narrow, jnp.minimum(itv_cnt + npos, M), M)
-        rows = jnp.stack([ranges[:, 0], ranges[:, 1], ids, dbt], axis=1)
+        rows = jnp.stack([ranges[:, 0], ranges[:, 1],
+                          ids.astype(jnp.uint32),
+                          dbt.astype(jnp.uint32)], axis=1)
         itv_buf = itv_buf.at[dest].set(rows, mode="drop")
         itv_cnt = jnp.minimum(itv_cnt + npos[-1] + 1, M)
         return jnp.where(narrow[:, None], 0, ranges), itv_buf, itv_cnt
@@ -379,7 +381,7 @@ def run_scheme(
         # ~20 chars is not specific (4^20 >> genome), so draining early
         # floods locate/verify with junk windows
         gate_t = max(0, itv_min_depth - kmer_eff - 1)
-        drain_rows0 = jnp.zeros((L, 4), jnp.int32)
+        drain_rows0 = jnp.zeros((L, 4), jnp.uint32)
 
         def make_ex(pos_tab, dir_tab, db_tab, chars_tab, ids_vec, t_off,
                     t_hi):
@@ -403,7 +405,8 @@ def run_scheme(
                     narrow = ((width > 0) & (width <= switchpoint)
                               & (t + t_off >= gate_t))
                     row = jnp.stack(
-                        [new[:, 0], new[:, 1], ids_vec, db_tab[t]], axis=1)
+                        [new[:, 0], new[:, 1], ids_vec.astype(jnp.uint32),
+                         db_tab[t].astype(jnp.uint32)], axis=1)
                     drows = jnp.where(narrow[:, None], row, drows)
                     new = jnp.where(narrow[:, None], 0, new)
                 return t + 1, new, drows
@@ -437,7 +440,7 @@ def run_scheme(
             pos2t = ex_pos_l[ex_split:, srcc1]
             dir2t = ex_dir_l[ex_split:, srcc1]
             db2t = db_ex_l[ex_split:, srcc1]
-            drows2 = jnp.zeros((EC, 4), jnp.int32)
+            drows2 = jnp.zeros((EC, 4), jnp.uint32)
 
             c2, b2 = make_ex(pos2t, dir2t, db2t, chars2, ids2, ex_split,
                              E - ex_split)
@@ -448,7 +451,7 @@ def run_scheme(
             # stage-1 lanes had no drain row, so the drain scatter cannot
             # clobber one)
             back = jnp.where(live1, srcc1, L)
-            ranges0 = jnp.zeros((L, 4), jnp.int32).at[back].set(
+            ranges0 = jnp.zeros((L, 4), jnp.uint32).at[back].set(
                 r2, mode="drop")
             drain_rows0 = drain_rows0.at[back].set(drows2, mode="drop")
         else:
@@ -656,8 +659,10 @@ def run_scheme(
             rows = jnp.stack([
                 children[..., 0].reshape(-1),
                 children[..., 1].reshape(-1),
-                jnp.broadcast_to(ids[:, None], (C, 4)).reshape(-1),
-                jnp.broadcast_to(dbv[:, None], (C, 4)).reshape(-1),
+                jnp.broadcast_to(ids.astype(jnp.uint32)[:, None],
+                                 (C, 4)).reshape(-1),
+                jnp.broadcast_to(dbv.astype(jnp.uint32)[:, None],
+                                 (C, 4)).reshape(-1),
             ], axis=1)
             itv_buf2 = itv_buf.at[dest_n].set(rows, mode="drop")
             itv_cnt2 = jnp.minimum(itv_cnt + np_[-1] + 1, M)
@@ -673,7 +678,9 @@ def run_scheme(
         died = act & alive & ~jnp.any(surv, axis=1)
         hpos = jnp.cumsum(died.astype(jnp.int32)) - 1
         dest_h = jnp.where(died, jnp.minimum(itv_cnt2 + hpos, M), M)
-        hrows = jnp.stack([ranges[:, 0], ranges[:, 1], ids, dbv], axis=1)
+        hrows = jnp.stack([ranges[:, 0], ranges[:, 1],
+                           ids.astype(jnp.uint32),
+                           dbv.astype(jnp.uint32)], axis=1)
         itv_buf2 = itv_buf2.at[dest_h].set(hrows, mode="drop")
         itv_cnt2 = jnp.minimum(itv_cnt2 + hpos[-1] + 1, M)
 
@@ -709,7 +716,7 @@ def run_scheme(
     def shrink(st_packed, C_new, overflow):
         """Compact a packed frontier into a smaller capacity (two-stage)."""
         Cp = st_packed.shape[0]
-        alive = st_packed[:, 1].astype(jnp.int32) > st_packed[:, 0].astype(jnp.int32)
+        alive = st_packed[:, 1] > st_packed[:, 0]  # uint32 range compare
         pos = jnp.cumsum(alive.astype(jnp.int32)) - 1
         dest = jnp.where(alive, jnp.minimum(pos, C_new), C_new)
         overflow = overflow + jnp.maximum(pos[-1] + 1 - C_new, 0)

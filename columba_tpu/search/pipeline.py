@@ -45,6 +45,16 @@ class Occurrence:
 # Device side
 # ---------------------------------------------------------------------------
 
+NEG_T_HOST = 2**32 - 2**17  # mirror of ops/verify.NEG_T
+
+
+def signed_positions(a) -> np.ndarray:
+    """uint32 device positions -> int64 host values (wrapped negatives in
+    the guard band [2^32 - 2^17, 2^32) restored to their signed meaning)."""
+    v = np.asarray(a).astype(np.int64)
+    return np.where(v >= NEG_T_HOST, v - 2**32, v)
+
+
 def crossover_caps(capacity: int, max_locate: int, switchpoint: int):
     """Derived in-text crossover sizing (itv_cap, split_step, capacity2),
     shared by match_all and dist.mesh so the two paths cannot drift."""
@@ -73,12 +83,14 @@ def stage_candidates(res, sched, dyn):
     iv_valid = jnp.arange(itv_rows.shape[0]) < res.itv_count
     iv_lo = jnp.where(iv_valid, itv_rows[:, 0], 0)
     iv_hi = jnp.where(iv_valid, itv_rows[:, 1], 0)
-    iv_rid = itv_rows[:, 2] // S
-    iv_sid = itv_rows[:, 2] % S
+    iv_ids = itv_rows[:, 2].astype(jnp.int32)  # ids/depth are small ints
+    iv_db = itv_rows[:, 3].astype(jnp.int32)   # stored in the uint32 buffer
+    iv_rid = iv_ids // S
+    iv_sid = iv_ids % S
     if dyn is not None:
-        iv_estb = itv_rows[:, 3] - dyn["pivot"][itv_rows[:, 2]]
+        iv_estb = iv_db - dyn["pivot"][iv_ids]
     else:
-        iv_estb = itv_rows[:, 3] - executor.select_by(
+        iv_estb = iv_db - executor.select_by(
             iv_sid, [int(p) for p in sched.pivot])
 
     c_lo = jnp.concatenate([fr_lo, iv_lo])
@@ -91,15 +103,24 @@ def stage_candidates(res, sched, dyn):
 def stage_expand(c_lo, c_hi, max_locate: int):
     """Two-phase expansion: candidate ranges -> flat rows (cap max_locate).
 
+    Ranges are uint32. Per-candidate widths are clamped at max_locate + 1
+    before the cumsum: rows beyond max_locate are dropped anyway, the clamp
+    keeps the uint32 running sum from wrapping on pathological repeat
+    ranges, and a clamped candidate still forces total > max_locate so the
+    truncation flag cannot be suppressed.
+
     Returns (rows, cand, valid, total)."""
-    widths = jnp.maximum(c_hi - c_lo, 0)
+    c_lo = c_lo.astype(jnp.uint32)
+    c_hi = c_hi.astype(jnp.uint32)
+    widths = jnp.where(c_hi > c_lo, c_hi - c_lo, jnp.uint32(0))
+    widths = jnp.minimum(widths, jnp.uint32(max_locate + 1))
     offsets = jnp.cumsum(widths)
     total = offsets[-1]
-    j = jnp.arange(max_locate, dtype=jnp.int32)
+    j = jnp.arange(max_locate, dtype=jnp.int32).astype(jnp.uint32)
     cand = jnp.searchsorted(offsets, j, side="right").astype(jnp.int32)
     cand = jnp.clip(cand, 0, widths.shape[0] - 1)
     base = offsets[cand] - widths[cand]
-    valid = j < jnp.minimum(total, max_locate)
+    valid = j < jnp.minimum(total, jnp.uint32(max_locate))
     rows = jnp.where(valid, c_lo[cand] + (j - base), 0)
     return rows, cand, valid, total
 
@@ -110,11 +131,16 @@ def stage_dedup(rid, win_start, valid, max_locate: int, max_verify: int):
     times over (the reference dedups FM-occurrences the same way,
     src/indexinterface.cpp:1381 eraseDoublesFM).
 
+    win_start is uint32 (wrapped-negative near the text start); invalidity
+    is carried by the rid sentinel alone, the win sentinel only sorts
+    invalid rows last within their (nonexistent) group.
+
     Returns (rid_v, win_v, vlive, n_uniq)."""
     L = max_locate
     big = jnp.int32(1 << 30)
     rid_m = jnp.where(valid, rid, big)
-    win_m = jnp.where(valid, win_start, big)
+    win_m = jnp.where(valid, win_start.astype(jnp.uint32),
+                      jnp.uint32(0xFFFFFFFF))
     order = jnp.lexsort((win_m, rid_m))
     rid_s = rid_m[order]
     win_s = win_m[order]
@@ -169,9 +195,12 @@ def match_device_core(
     c_lo, c_hi, c_rid, c_estb = stage_candidates(res, sched, dyn)
     rows, cand, valid, total = stage_expand(c_lo, c_hi, max_locate)
 
-    pos = locate.locate_rows(index, rows)
-    est = pos + c_estb[cand]
-    win_start = est - kb
+    pos = locate.locate_rows(index, rows)  # uint32 text positions
+    # est/win_start stay uint32: adding the (possibly negative) int32 back-
+    # depth estimate wraps modulo 2^32, which is exactly the wrapped-negative
+    # convention gather_window expects (ops/verify.py NEG_T)
+    est = pos + c_estb[cand].astype(jnp.uint32)
+    win_start = est - jnp.uint32(kb)
     rid = c_rid[cand]
 
     rid_v, win_v, vlive, n_uniq = stage_dedup(
@@ -286,7 +315,8 @@ def select_schemes(
     m = batch.shape[1]
     pts = schedule.uniform_partition(m, p)
     ranges = np.asarray(part_exact_ranges(index, batch, pts, kmer_table))
-    widths = ranges[:, :, 1] - ranges[:, :, 0]           # (R, p)
+    widths = (ranges[:, :, 1].astype(np.int64)
+              - ranges[:, :, 0].astype(np.int64))        # (R, p)
     crit = np.array([sc.critical_part_index for sc in schemes])
     crit_w = widths[:, crit]                             # (R, n_schemes)
     choice = np.argmin(crit_w, axis=1)
@@ -476,7 +506,7 @@ def _extract_occurrences(out, R, m, k, kb, redundancy_filter=True) -> list[Occur
     ii, aa = np.nonzero(is_min)
     if ii.size:
         rid_all = np.asarray(out["rid"])[ii]
-        end_all = np.asarray(out["win_start"])[ii] + m + (aa - kb)
+        end_all = signed_positions(out["win_start"])[ii] + m + (aa - kb)
         ed_all = rows[ii, aa]
         # min distance per (rid, end)
         order = np.lexsort((ed_all, end_all, rid_all))

@@ -149,3 +149,33 @@ def test_exact_mode_rlc(pair, rng):
     o_bm, _ = pipeline.match_all(bm, reads, get_scheme("kuch1", 0))
     key = lambda os: {(o.read_id, o.strand, o.begin) for o in os}
     assert key(o_bm) == key(o_fm)
+
+
+def test_locate_pan_genome_bounded(rng):
+    """Locate on a pan-genome (20 near-identical haplotypes -> huge BWT
+    runs) stays correct; the in-run stride samples bound every LF-walk at
+    LOCATE_STRIDE steps regardless of run length."""
+    from columba_tpu.index.bmove import LOCATE_STRIDE
+    from columba_tpu.index.suffix import suffix_array
+
+    unit = rng.integers(0, 4, size=2000).astype(np.uint8)
+    copies = [unit]
+    for _ in range(19):
+        c = unit.copy()
+        idx = rng.integers(0, len(c), 2)  # 0.1% divergence
+        c[idx] = (c[idx] + 1 + rng.integers(0, 3, 2)) % 4
+        copies.append(c)
+    genome = np.concatenate(copies)
+    bm = BMoveIndex.from_arrays(build_bmove_from_codes(genome))
+    # huge runs really exist (r << n)
+    assert bm.r_fwd < len(genome) / 10
+
+    sa = suffix_array(genome)
+    n = len(genome)
+    sa_full = np.concatenate([[n], sa])
+    rows = rng.integers(0, n + 1, size=512)
+    got = np.asarray(blocate.locate_rows(bm, jnp.asarray(rows)))
+    want = np.minimum(sa_full[rows], n)
+    np.testing.assert_array_equal(got, want)
+    # stride table covers every LOCATE_STRIDE-th of the n+1 BWT rows
+    assert bm.sa_stride.shape[0] == -(-(n + 1) // LOCATE_STRIDE)
