@@ -248,6 +248,9 @@ def measure_reference(genome, reads) -> float | None:
 
 
 def main():
+    from columba_tpu import compile_cache
+
+    compile_cache.enable()
     genome, reads = build_workload()
     arrays = build_index_cached(genome)
     value = measure_tpu(arrays, reads)

@@ -157,6 +157,7 @@ def cmd_build(args):
 def cmd_align(args):
     import numpy as np  # noqa: F401
 
+    from columba_tpu import compile_cache
     from columba_tpu.index.build import load_index
     from columba_tpu.index.fmindex import FMIndex
     from columba_tpu.io import fastq, sam
@@ -171,6 +172,9 @@ def cmd_align(args):
     logger.verbose = args.verbose
     if args.log_file:
         logger.set_log_file(args.log_file)
+    cache_dir = compile_cache.enable()
+    if cache_dir:
+        logger.verbose_msg(f"persistent compile cache: {cache_dir}")
     if args.threads is not None:
         logger.verbose_msg(
             f"-t {args.threads} accepted; parallelism is per-chip batching")
@@ -377,10 +381,18 @@ def _align_paired(args, arrays, index, cfg, kmer_table):
         kb_of[key] = k if cfg.metric == "edit" else 0
         g1, g2 = group_arrays(idxs)
         for off in range(0, len(idxs), B):
-            mapped = paired.map_pairs_all(
-                index, g1[off:off + B], g2[off:off + B],
-                cfg.scheme_name, k, cfg.metric, pcfg, arrays.seq_starts,
-                kmer_table)
+            if args.mode == "best":
+                # stratified PE BEST: per-stratum total-distance loop with
+                # best-stratum early exit and best(+x)-only emission
+                # (reference: src/searchstrategy.cpp:1091-1179)
+                mapped = paired.map_pairs_best(
+                    index, g1[off:off + B], g2[off:off + B],
+                    cfg, pcfg, arrays.seq_starts, kmer_table, counters=ctrs)
+            else:
+                mapped = paired.map_pairs_all(
+                    index, g1[off:off + B], g2[off:off + B],
+                    cfg.scheme_name, k, cfg.metric, pcfg, arrays.seq_starts,
+                    kmer_table)
             for j, mp in zip(idxs[off:off + B], mapped):
                 mapped_all[j] = mp
                 ctrs.number_of_reads += 2

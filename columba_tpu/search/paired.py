@@ -149,6 +149,232 @@ def map_pairs_all(
     return out
 
 
+def map_pairs_best(
+    index,
+    reads1: np.ndarray,
+    reads2: np.ndarray,
+    cfg: strategy.MappingConfig,
+    pcfg: PairedConfig,
+    seq_starts: np.ndarray,
+    kmer_table=None,
+    counters=None,
+) -> list[MappedPair]:
+    """Stratified BEST(+x) paired mapping of a batch of pairs.
+
+    Batched equivalent of the reference's total-distance stratum loop
+    (src/searchstrategy.cpp:1091-1179 ``matchApproxPairedEndBestPlusX``,
+    :834-915 ``processComb``): walk total-distance budgets with the
+    reference's stratum jumps, split each budget over the two sides using
+    the other side's known minimum distance (processComb's maxUp/maxDown),
+    early-exit per pair once its best stratum (+x) is fully explored, and
+    emit only pairs with total distance in [best, best + x]. Falls back to
+    discordant-best pairing (src/searchstrategy.cpp:1664-1741) and then to
+    best-only unpaired occurrences.
+
+    Device work is compacted: each stratum maps only the (side, read)
+    rows whose needed budget exceeds what has been explored, grouped by
+    budget so every pipeline launch is one fixed-shape batch.
+    """
+    R, m1 = reads1.shape
+    _, m2 = reads2.shape
+    sup1 = strategy.max_supported_k(cfg.scheme_name, m1, cfg.metric)
+    sup2 = strategy.max_supported_k(cfg.scheme_name, m2, cfg.metric)
+    cut1 = strategy.get_max_ed(cfg.min_identity, m1, max(sup1, 1))
+    cut2 = strategy.get_max_ed(cfg.min_identity, m2, max(sup2, 1))
+    x = int(cfg.best_plus_x)
+    tot_cut = cut1 + cut2
+
+    # per-(side, read) occurrence stores, deduped by (strand, end) at the
+    # lowest distance (higher-k reruns rediscover lower-distance occs)
+    occs1: list[dict] = [dict() for _ in range(R)]
+    occs2: list[dict] = [dict() for _ in range(R)]
+    explored1 = np.full(R, -1, dtype=np.int64)  # side mapped to <= this k
+    explored2 = np.full(R, -1, dtype=np.int64)
+    best = np.full(R, tot_cut + 1, dtype=np.int64)
+    resolved = np.zeros(R, dtype=bool)
+    pair_sets: list[dict] = [dict() for _ in range(R)]
+
+    def min_lb(store, explored_i, cutoff):
+        """Lower bound on any (known or future) distance of one side."""
+        known = min((o.distance for o in store.values()), default=None)
+        floor = min(explored_i + 1, cutoff + 1)
+        return min(known, floor) if known is not None else floor
+
+    def run_side(reads, stores, explored, need_k):
+        """Map rows whose budget need_k[i] exceeds explored[i], grouped by
+        budget value so each launch is one fixed-shape compacted batch."""
+        by_k: dict[int, list[int]] = {}
+        for i in np.nonzero(need_k > explored)[0]:
+            by_k.setdefault(int(need_k[i]), []).append(int(i))
+        for k, idxs in sorted(by_k.items()):
+            scheme = strategy._scheme_for(cfg, k)
+            occs, stats = pipeline.match_all(
+                index, reads[idxs], scheme, metric=cfg.metric,
+                capacity=cfg.capacity, max_locate=cfg.max_locate,
+                kmer_table=kmer_table, partitioning=cfg.partitioning,
+                switchpoint=cfg.switchpoint)
+            if counters is not None:
+                counters.add_device_stats(stats)
+            for o in occs:
+                gi = idxs[o.read_id]
+                o.read_id = gi
+                key = (o.strand, o.end)
+                prev = stores[gi].get(key)
+                if prev is None or o.distance < prev.distance:
+                    stores[gi][key] = o
+            for i in idxs:
+                explored[i] = k
+
+    def pair_one(i, tmax):
+        """All concordant pairs of read i with total distance <= tmax."""
+        p1 = ([o for o in occs1[i].values() if o.strand == 0],
+              [o for o in occs1[i].values() if o.strand == 1])
+        p2 = ([o for o in occs2[i].values() if o.strand == 0],
+              [o for o in occs2[i].values() if o.strand == 1])
+        found = []
+        for up, down, up_is_1 in _orientation_combos(pcfg.orientation, p1, p2):
+            for p in pair_occurrences(up, down, pcfg.min_insert,
+                                      pcfg.max_insert, up_is_1, seq_starts):
+                if p.total_distance <= tmax:
+                    found.append(p)
+        return found
+
+    def explore(t, active):
+        """One stratum: map both sides up to the per-read total budget
+        (capped at best+x once a best is known) split using the other
+        side's minimum-distance lower bound (processComb's maxUp/maxDown);
+        side 1 first, then side 2 with side 1's refreshed bound."""
+        tcap = np.where(best <= tot_cut,
+                        np.minimum(best + x, tot_cut), t)
+        tcap = np.minimum(tcap, t)
+        lb2 = np.array([min_lb(occs2[i], explored2[i], cut2)
+                        for i in range(R)])
+        k1 = np.minimum(cut1, tcap - lb2)
+        k1 = np.where(active, k1, -1)
+        run_side(reads1, occs1, explored1, np.maximum(k1, -1))
+        lb1 = np.array([min_lb(occs1[i], explored1[i], cut1)
+                        for i in range(R)])
+        k2 = np.minimum(cut2, tcap - lb1)
+        k2 = np.where(active, k2, -1)
+        run_side(reads2, occs2, explored2, np.maximum(k2, -1))
+
+    def collect(i):
+        """Record newly discoverable pairs of read i up to its explored
+        total budget; update best."""
+        tmax = min(int(explored1[i] + explored2[i]), tot_cut)
+        if tmax < 0:
+            return
+        for p in pair_one(i, tmax):
+            key = (p.up.strand, p.up.end, p.down.strand, p.down.end,
+                   p.up_is_read1)
+            prev = pair_sets[i].get(key)
+            if prev is None or p.total_distance < prev.total_distance:
+                pair_sets[i][key] = p
+            if p.total_distance < best[i]:
+                best[i] = p.total_distance
+
+    t = 0
+    while True:
+        active = ~resolved
+        if not active.any():
+            break
+        explore(t, active)
+        for i in np.nonzero(active)[0]:
+            collect(int(i))
+            if best[i] <= tot_cut:
+                target = min(int(best[i]) + x, tot_cut)
+                # resolved once every pair with total distance <= target is
+                # discoverable: both sides explored to their target budget
+                lb1 = min_lb(occs1[i], explored1[i], cut1)
+                lb2 = min_lb(occs2[i], explored2[i], cut2)
+                if (explored1[i] >= min(cut1, target - lb2)
+                        and explored2[i] >= min(cut2, target - lb1)):
+                    resolved[i] = True
+        if t >= tot_cut:
+            break
+        # reference stratum jumps (searchstrategy.cpp:1155-1160); reads with
+        # a found best still need their +x target level -> jump there
+        unresolved_best = best[~resolved & (best <= tot_cut)] if (
+            (~resolved) & (best <= tot_cut)).any() else None
+        step = 2 if t < 6 else 4
+        t_next = min(t + x + step, tot_cut) if t > 0 else max(x, 1)
+        if unresolved_best is not None:
+            t_next = min(t_next,
+                         int(min(unresolved_best.max() + x, tot_cut)))
+        t = max(t_next, t + 1)
+
+    # reads with no concordant pair fall back to discordant/unpaired
+    # handling, which needs each side fully mapped to its own cutoff
+    # (the reference's pairDiscordantlyBest walks mapStratum to the end,
+    # src/searchstrategy.cpp:1682-1694); the budget-split loop may have
+    # stopped short when the other side had no occurrences
+    fallback = best > tot_cut
+    if fallback.any():
+        run_side(reads1, occs1, explored1,
+                 np.where(fallback, cut1, -1))
+        run_side(reads2, occs2, explored2,
+                 np.where(fallback, cut2, -1))
+
+    out = []
+    for i in range(R):
+        mp = MappedPair()
+        if best[i] <= tot_cut:
+            hi = min(int(best[i]) + x, tot_cut)
+            mp.pairs = sorted(
+                (p for p in pair_sets[i].values()
+                 if best[i] <= p.total_distance <= hi),
+                key=lambda p: (p.total_distance, p.up.begin))
+            out.append(mp)
+            continue
+        p1 = ([o for o in occs1[i].values() if o.strand == 0],
+              [o for o in occs1[i].values() if o.strand == 1])
+        p2 = ([o for o in occs2[i].values() if o.strand == 0],
+              [o for o in occs2[i].values() if o.strand == 1])
+        if pcfg.discordant:
+            mp.discordant = _pair_discordantly_best(
+                p1, p2, x, pcfg.max_discordant)
+        if not mp.discordant:
+            # best-only unpaired occurrences per side (reference
+            # findBestMapping with +x strata)
+            for occs, dst in ((p1[0] + p1[1], "unpaired1"),
+                              (p2[0] + p2[1], "unpaired2")):
+                if occs:
+                    b = min(o.distance for o in occs)
+                    setattr(mp, dst,
+                            [o for o in occs if o.distance <= b + x])
+        out.append(mp)
+    return out
+
+
+def _pair_discordantly_best(p1, p2, x, cap):
+    """Stratified discordant pairing: first total stratum i = e1 + e2 with
+    occurrences on both sides wins; collect strata [i, i+x], capped
+    (reference: src/searchstrategy.cpp:1664-1741 + addDiscPairs)."""
+    occs1 = p1[0] + p1[1]
+    occs2 = p2[0] + p2[1]
+    if not occs1 or not occs2:
+        return []
+    by1: dict[int, list] = {}
+    by2: dict[int, list] = {}
+    for o in occs1:
+        by1.setdefault(o.distance, []).append(o)
+    for o in occs2:
+        by2.setdefault(o.distance, []).append(o)
+    best = min(by1) + min(by2)
+    out = []
+    for tot in range(best, best + x + 1):
+        for e1 in sorted(by1):
+            e2 = tot - e1
+            if e2 not in by2:
+                continue
+            for u in by1[e1]:
+                for d in by2[e2]:
+                    if len(out) >= cap:
+                        return out
+                    out.append(PairedOcc(u, d, True))
+    return out
+
+
 def _orientation_combos(orientation, p1, p2):
     """(upstream occs, downstream occs, up_is_read1) per orientation
     (reference processCombFR/FF/RF)."""
@@ -298,8 +524,9 @@ def emit_sam_paired(
             cands = sorted(mp.discordant,
                            key=lambda p: (p.total_distance, p.up.begin))
         if cands:
+            best_total = cands[0].total_distance
             n_best = sum(1 for p in cands
-                         if p.total_distance == cands[0].total_distance)
+                         if p.total_distance == best_total)
             mq = sam.mapq(n_best)
             for rank_i, p in enumerate(cands):
                 o1 = p.up if p.up_is_read1 else p.down
@@ -314,7 +541,10 @@ def emit_sam_paired(
                 f2 = base | 0x80 | sec | (0x10 if o2.strand else 0) | (0x20 if o1.strand else 0)
                 q1 = r1.qual if o1.strand == 0 else r1.qual[::-1]
                 q2 = r2.qual if o2.strand == 0 else r2.qual[::-1]
-                mqi = mq if rank_i == 0 else 0
+                # every best-stratum pair gets the stratum MAPQ, secondary
+                # or not (reference getMapQPairedEnd: 0 only when this
+                # pair's total distance exceeds the best score)
+                mqi = mq if p.total_distance == best_total else 0
                 lines.append(
                     f"{r1.name}\t{f1}\t{arrays.seq_names[x1]}\t{pos1}\t{mqi}\t{c1}"
                     f"\t=\t{pos2}\t{t1}\t{alphabet.decode(s1)}\t{q1}"

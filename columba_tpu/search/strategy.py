@@ -127,18 +127,27 @@ def map_batch_all(
 def map_batch_best(
     index: FMIndex, reads: np.ndarray, cfg: MappingConfig, counters=None
 ) -> list[MappedRead]:
+    """BEST(+x) mapping with per-read stratum compaction: each stratum runs
+    only the reads that still need it (resolved reads drop out — the batched
+    substitute for the reference's per-read early exit), padded to
+    power-of-two sizes so the set of compiled batch shapes stays bounded."""
     R, m = reads.shape
     supported = max_supported_k(cfg.scheme_name, m, cfg.metric)
     cutoff = get_max_ed(cfg.min_identity, m, max(supported, 1))
     x = cfg.best_plus_x
     out = [MappedRead() for _ in range(R)]
     best = np.full(R, cutoff + 1, dtype=np.int64)
+    explored = np.full(R, -1, dtype=np.int64)
     collected: list[list] = [[] for _ in range(R)]
 
-    def run_stratum(k: int):
+    def run_stratum(k: int, idxs: np.ndarray):
+        n_live = len(idxs)
+        size = min(R, max(64, 1 << (n_live - 1).bit_length()))
+        sub = np.concatenate(
+            [idxs, np.full(size - n_live, idxs[0], dtype=idxs.dtype)])
         scheme = _scheme_for(cfg, k)
         occs, stats = pipeline.match_all(
-            index, reads, scheme, metric=cfg.metric,
+            index, reads[sub], scheme, metric=cfg.metric,
             capacity=cfg.capacity, max_locate=cfg.max_locate,
             kmer_table=cfg.kmer_table, partitioning=cfg.partitioning,
             switchpoint=cfg.switchpoint,
@@ -146,30 +155,37 @@ def map_batch_best(
         if counters is not None:
             counters.add_device_stats(stats)
         for o in occs:
+            if o.read_id >= n_live:
+                continue  # padding lane (duplicate of idxs[0])
+            o.read_id = int(idxs[o.read_id])
             collected[o.read_id].append(o)
             if o.distance < best[o.read_id]:
                 best[o.read_id] = o.distance
+        explored[idxs] = np.maximum(explored[idxs], k)
 
-    run_stratum(0)
-    k, prev_k = max(x, 1), 0
+    run_stratum(0, np.arange(R))
     while True:
-        unresolved = best > cutoff
-        need_more = unresolved | (best + x > prev_k)
-        if not need_more.any() or prev_k >= cutoff:
+        # per-read next stratum: reads with a best need their +x target,
+        # others follow the reference ladder (searchstrategy.cpp:676-709:
+        # k += x + (2 if k < 5 else 4)); resolved reads drop out
+        needs: dict[int, list[int]] = {}
+        for i in range(R):
+            if explored[i] >= cutoff:
+                continue
+            if best[i] <= cutoff:
+                target = min(int(best[i]) + x, cutoff)
+                if explored[i] >= target:
+                    continue
+                nk = target
+            else:
+                cur = int(explored[i])
+                step = 2 if cur < 5 else 4
+                nk = max(x, 1) if cur == 0 else min(cur + x + step, cutoff)
+            needs.setdefault(nk, []).append(i)
+        if not needs:
             break
-        if k > cutoff:
-            break
-        run_stratum(k)
-        prev_k = k
-        if (best <= cutoff).all():
-            # everyone found something; still need the +x strata
-            target = int(min(int(best.max()) + x, cutoff))
-            if prev_k >= target:
-                break
-            k = target
-        else:
-            step = 2 if k < 5 else 4
-            k = min(k + x + step, cutoff)
+        for nk, idx_list in sorted(needs.items()):
+            run_stratum(nk, np.asarray(idx_list))
 
     for i in range(R):
         if best[i] > cutoff:
@@ -299,7 +315,10 @@ def emit_sam(
                 lines.append(
                     sam.record(
                         rec.name, flag, arrays.seq_names[sidx], pos1,
-                        mq if rank_i == 0 else 0, cigar, seq_codes, qual, ed,
+                        # reference getMapQ: every best-distance record gets
+                        # the MAPQ, secondary or not; others get 0
+                        mq if ed == best_ed else 0, cigar, seq_codes, qual,
+                        ed,
                     )
                 )
     return lines

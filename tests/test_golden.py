@@ -41,3 +41,13 @@ def test_parity_smoke_paired(tmp_path, mode):
     _run("cigar",
          ["--mode", mode, "--metric", "edit", "--edits", "--paired"],
          str(tmp_path))
+
+
+def test_parity_paired_best_multimap(tmp_path):
+    """Repeat-heavy workload: pairs multi-map with different total
+    distances, so PE BEST emission (best stratum only, stratum MAPQ on
+    every best record) is actually exercised."""
+    _run("cigar",
+         ["--mode", "best", "--metric", "edit", "--edits", "--paired",
+          "--repeats", "6"],
+         str(tmp_path))

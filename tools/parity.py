@@ -68,11 +68,30 @@ def make_workload(wd, n=200_000, reads=300, m=100, maxerr=2, seed=1,
 
 
 def make_paired_workload(wd, n=200_000, pairs=200, m=100, maxerr=2, seed=1,
-                         edits=False):
-    """FR-oriented pairs with inserts ~N(350, 40) in [250, 450]."""
+                         edits=False, repeats=0):
+    """FR-oriented pairs with inserts ~N(350, 40) in [250, 450].
+
+    With repeats=R > 0, the genome carries R extra copies of its first
+    1 kbp (0.5%% divergence) and every pair is sampled from that repeat
+    unit, so pairs multi-map with DIFFERENT total distances per locus —
+    the workload that separates stratified PE BEST from PE ALL-at-cutoff
+    emission (reference: src/searchstrategy.cpp:1091-1179)."""
     os.makedirs(wd, exist_ok=True)
     rng = np.random.default_rng(seed)
-    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, n))
+    base = rng.integers(0, 4, n)
+    if repeats:
+        unit = base[:1000]
+        copies = []
+        for _ in range(repeats):
+            c = unit.copy()
+            nmut = max(1, int(0.005 * len(c)))
+            idx = rng.integers(0, len(c), nmut)
+            c[idx] = (c[idx] + 1 + rng.integers(0, 3, nmut)) % 4
+            copies.append(c)
+            copies.append(rng.integers(0, 4, 2000))  # spacer
+        base = np.concatenate([base] + copies)
+        n = len(base)
+    seq = "".join("ACGT"[i] for i in base)
     fa = os.path.join(wd, "genome.fa")
     with open(fa, "w") as f:
         f.write(">chr1\n")
@@ -97,7 +116,8 @@ def make_paired_workload(wd, n=200_000, pairs=200, m=100, maxerr=2, seed=1,
     with open(fq1, "w") as f1, open(fq2, "w") as f2:
         for i in range(pairs):
             ins = int(np.clip(rng.normal(350, 40), 250, 450))
-            p = int(rng.integers(0, n - ins - maxerr - 1))
+            lim = (1000 if repeats else n) - ins - maxerr - 1
+            p = int(rng.integers(0, lim))
             frag = seq[p:p + ins + maxerr]
             r1 = mutate(frag[:m + maxerr])
             r2 = mutate(frag[-(m + maxerr):][::-1].translate(comp))
@@ -197,6 +217,9 @@ def main(argv=None):
     p.add_argument("--level", default="positions", choices=["positions", "best", "cigar"])
     p.add_argument("--wd", default="/tmp/parity")
     p.add_argument("--paired", action="store_true")
+    p.add_argument("--repeats", type=int, default=0,
+                   help="paired workload: extra diverged copies of the "
+                        "sampled region so pairs multi-map (PE BEST test)")
     p.add_argument("--x", type=int, default=0,
                    help="best-plus-x stratum widening (BEST mode). Known "
                         "divergence: for x>0 the reference emits UNMAPPED "
@@ -212,7 +235,7 @@ def main(argv=None):
     if args.paired:
         fa, fq, fq2 = make_paired_workload(
             wd, n=args.genome, pairs=args.reads, maxerr=args.e,
-            seed=args.seed, edits=args.edits)
+            seed=args.seed, edits=args.edits, repeats=args.repeats)
     else:
         fa, fq = make_workload(wd, n=args.genome, reads=args.reads,
                                maxerr=args.e, seed=args.seed, edits=args.edits)
