@@ -228,6 +228,7 @@ def cmd_align(args):
         dynamic_selection=dynamic_selection,
         partitioning=args.partitioning,
         switchpoint=args.in_text,
+        arrays=arrays,
     )
     kb_for = lambda k: k if args.metric == "edit" else 0
 
@@ -239,44 +240,91 @@ def cmd_align(args):
     t0 = time.time()
     n_reads = 0
     n_mapped = 0
+
+    # Overlapped three-stage pipeline, mirroring the reference's
+    # reader/worker/writer threads (src/fastq.cpp:283-424 readerThread,
+    # :567-719 writerThread): a producer thread parses FASTQ into
+    # fixed-shape batches, the main thread drives the device, and a writer
+    # thread runs the host emission (traceback DP + SAM formatting) and
+    # writes in dispatch order. Queues are bounded, so host memory stays
+    # O(queue * batch) regardless of input size.
+    import queue as _queue
+    import threading
+
+    in_q: _queue.Queue = _queue.Queue(maxsize=4)
+    out_q: _queue.Queue = _queue.Queue(maxsize=4)
+    errors: list = []
+
+    def _producer():
+        try:
+            reader = fastq.parse_reads(args.reads)
+            if args.trim:
+                start, end = (int(x) for x in args.trim.split("-"))
+                reader = fastq.trim_records(reader, start, end)
+            for item in fastq.batches_by_length(reader, args.batch_size):
+                in_q.put(item)
+        except BaseException as e:  # surfaced on join
+            errors.append(e)
+        finally:
+            in_q.put(None)
+
+    from columba_tpu.counters import Counters
+
+    ctrs = Counters()
+    counters = {"reads": 0, "mapped": 0, "records": 0}
+
+    def _writer(out):
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    return
+                records, mapped, kb = item
+                if rhs_output:
+                    from columba_tpu.search.strategy import emit_rhs
+
+                    lines = emit_rhs(records, mapped, arrays)
+                else:
+                    lines = emit_sam(
+                        records, mapped, arrays, index, kb, mode=args.mode,
+                        xa_tag=args.xa_tag,
+                        unmapped_records=not args.no_unmapped,
+                        with_cigar=args.with_cigar, counters=ctrs)
+                out.writelines(lines)
+        except BaseException as e:
+            errors.append(e)
+            while out_q.get() is not None:  # drain so the main loop
+                pass                        # cannot block on a dead writer
+
     with open(args.output, "w") as out:
         if not rhs_output:
             out.write(sam.header(arrays.seq_names, seq_lengths,
                                  command_line=" ".join(sys.argv)))
-        reader = fastq.parse_reads(args.reads)
-        if args.trim:
-            start, end = (int(x) for x in args.trim.split("-"))
-            reader = fastq.trim_records(reader, start, end)
-        from columba_tpu.counters import Counters
-
-        ctrs = Counters()
-        counters = {"reads": 0, "mapped": 0, "records": 0}
-        for records, codes in fastq.batches_by_length(
-            reader, args.batch_size
-        ):
+        prod = threading.Thread(target=_producer, daemon=True)
+        wrt = threading.Thread(target=_writer, args=(out,), daemon=True)
+        prod.start()
+        wrt.start()
+        while True:
+            item = in_q.get()
+            if item is None:
+                break
+            records, codes = item
             if args.mode == "all":
                 mapped = map_batch_all(index, codes, cfg, counters=ctrs)
                 kb = kb_for(cfg.max_distance)
             else:
                 mapped = map_batch_best(index, codes, cfg, counters=ctrs)
-                from columba_tpu.search.strategy import get_max_ed, max_supported_k
+                from columba_tpu.search.strategy import (
+                    get_max_ed, max_supported_k,
+                )
 
                 m_len = codes.shape[1]
                 kb = kb_for(get_max_ed(
                     args.min_identity, m_len,
-                    max(max_supported_k(args.scheme, m_len, args.metric), 1)))
+                    max(max_supported_k(args.scheme, m_len, args.metric),
+                        1)))
             mapped = mapped[: len(records)]
-            if rhs_output:
-                from columba_tpu.search.strategy import emit_rhs
-
-                lines = emit_rhs(records, mapped, arrays)
-            else:
-                lines = emit_sam(records, mapped, arrays, index, kb,
-                                 mode=args.mode, xa_tag=args.xa_tag,
-                                 unmapped_records=not args.no_unmapped,
-                                 with_cigar=args.with_cigar, counters=ctrs)
-            for line in lines:
-                out.write(line)
+            out_q.put((records, mapped, kb))
             n_reads += len(records)
             n_mapped += sum(1 for mr in mapped if mr.occs)
             counters["records"] += sum(len(mr.occs) for mr in mapped)
@@ -292,6 +340,11 @@ def cmd_align(args):
                 file=sys.stderr,
             )
             logger.verbose_msg(f"{n_reads} reads processed")
+        out_q.put(None)
+        wrt.join()
+        prod.join()
+        if errors:
+            raise errors[0]
     # end-of-run statistics (reference: src/indexhelpers.cpp:388-513)
     pct = 100.0 * n_mapped / max(n_reads, 1)
     summary = (
@@ -326,23 +379,36 @@ def _align_paired(args, arrays, index, cfg, kmer_table):
         max_discordant=(args.discordant if args.discordant is not None
                         else 100000),
     )
-    recs1 = list(fastq.parse_reads(args.reads))
-    recs2 = list(fastq.parse_reads(args.reads2))
-    assert len(recs1) == len(recs2), "read files must pair up"
-    # Pairs are bucketed by (len1, len2) so fixed-shape device batches work
-    # with mixed-length input (the reference streams records of any length,
-    # src/fastq.cpp:43-241; here shape groups play that role). Mapping runs
-    # per group; emission walks the original order in maximal same-group
-    # runs, so output order matches the input like the SE path.
-    groups: dict = {}
-    for i, (r1, r2) in enumerate(zip(recs1, recs2)):
-        groups.setdefault((len(r1.codes), len(r2.codes)), []).append(i)
+    import itertools
+    import queue as _queue
+    import sys as _sys
+    import threading
+    import time as _time
 
+    from columba_tpu.counters import Counters
+    from columba_tpu.logger import logger
     from columba_tpu.search.strategy import get_max_ed, max_supported_k
 
-    def group_arrays(idxs):
-        return (np.stack([recs1[i].codes for i in idxs]),
-                np.stack([recs2[i].codes for i in idxs]))
+    B = args.batch_size
+    # Both FASTQ files stream in lockstep, CHUNK pairs at a time, so host
+    # memory stays bounded regardless of input size (the reference streams
+    # bounded blocks the same way, src/fastq.cpp:283-424). Pairs are
+    # bucketed by (len1, len2) per chunk so fixed-shape device batches work
+    # with mixed-length input; emission walks each chunk in original order
+    # in maximal same-shape runs, so output order matches the input.
+    CHUNK = max(8 * B, 65536)
+
+    def chunks_of_pairs():
+        it1 = fastq.parse_reads(args.reads)
+        it2 = fastq.parse_reads(args.reads2)
+        while True:
+            c1 = list(itertools.islice(it1, CHUNK))
+            c2 = list(itertools.islice(it2, CHUNK))
+            if len(c1) != len(c2):
+                raise ValueError("read files must pair up")
+            if not c1:
+                return
+            yield c1, c2
 
     def group_k(m):
         if args.mode == "all":
@@ -350,80 +416,122 @@ def _align_paired(args, arrays, index, cfg, kmer_table):
         return get_max_ed(args.min_identity, m,
                           max(max_supported_k(args.scheme, m, args.metric), 1))
 
+    chunks = chunks_of_pairs()
+    pending = []
     if pcfg.infer:
-        # infer from the dominant shape group (reference caps its inference
-        # sample anyway, src/parallel.cpp:402-465 / definitions.h:57-58)
-        big = max(groups.values(), key=len)
-        reads1, reads2 = group_arrays(big)
-        pcfg = paired.infer_parameters(
-            index, reads1, reads2, cfg, arrays.seq_starts, kmer_table,
-            pcfg_in=pcfg)
-        import sys as _sys
-        print(f"[columba_tpu] inferred orientation={pcfg.orientation} "
-              f"insert=[{pcfg.min_insert},{pcfg.max_insert}]", file=_sys.stderr)
+        # infer from the first chunk's dominant shape group (the reference
+        # caps its inference sample anyway, src/parallel.cpp:402-465)
+        try:
+            first = next(chunks)
+        except StopIteration:
+            first = None
+        if first is not None:
+            pending.append(first)
+            recs1, recs2 = first
+            groups0: dict = {}
+            for i, (r1, r2) in enumerate(zip(recs1, recs2)):
+                groups0.setdefault((len(r1.codes), len(r2.codes)),
+                                   []).append(i)
+            big = max(groups0.values(), key=len)
+            g1 = np.stack([recs1[i].codes for i in big])
+            g2 = np.stack([recs2[i].codes for i in big])
+            pcfg = paired.infer_parameters(
+                index, g1, g2, cfg, arrays.seq_starts, kmer_table,
+                pcfg_in=pcfg)
+            print(f"[columba_tpu] inferred orientation={pcfg.orientation} "
+                  f"insert=[{pcfg.min_insert},{pcfg.max_insert}]",
+                  file=_sys.stderr)
+
     seq_lengths = list(np.diff(arrays.seq_starts))
-    import sys as _sys
-    import time as _time
-
-    from columba_tpu.counters import Counters
-    from columba_tpu.logger import logger
-
     ctrs = Counters()
     t0 = _time.time()
-    # map every group, keyed back to original pair indices
-    mapped_all: list = [None] * len(recs1)
-    kb_of: dict = {}
     done = 0
-    B = args.batch_size
-    for key, idxs in groups.items():
-        m1, _m2 = key
-        k = group_k(m1)
-        kb_of[key] = k if cfg.metric == "edit" else 0
-        g1, g2 = group_arrays(idxs)
-        for off in range(0, len(idxs), B):
-            if args.mode == "best":
-                # stratified PE BEST: per-stratum total-distance loop with
-                # best-stratum early exit and best(+x)-only emission
-                # (reference: src/searchstrategy.cpp:1091-1179)
-                mapped = paired.map_pairs_best(
-                    index, g1[off:off + B], g2[off:off + B],
-                    cfg, pcfg, arrays.seq_starts, kmer_table, counters=ctrs)
-            else:
-                mapped = paired.map_pairs_all(
-                    index, g1[off:off + B], g2[off:off + B],
-                    cfg.scheme_name, k, cfg.metric, pcfg, arrays.seq_starts,
-                    kmer_table)
-            for j, mp in zip(idxs[off:off + B], mapped):
-                mapped_all[j] = mp
-                ctrs.number_of_reads += 2
-                ctrs.total_unique_pairs += len(mp.pairs)
-                if mp.pairs:
-                    ctrs.mapped_pairs += 1
-                elif mp.discordant:
-                    ctrs.discordantly_mapped_pairs += 1
-                elif mp.unpaired1 and mp.unpaired2:
-                    ctrs.unpaired_but_mapped_pairs += 1
-                elif mp.unpaired1 or mp.unpaired2:
-                    ctrs.mapped_half_pairs += 1
-            done += min(len(idxs) - off, B)
-            rate = done / max(_time.time() - t0, 1e-9)
-            print(f"[columba_tpu] {done} pairs ({rate:,.0f} pairs/s)",
-                  file=_sys.stderr)
+
+    def map_chunk(recs1, recs2):
+        """Map one chunk; returns (mapped_all, kb_of) for its emission."""
+        nonlocal done
+        groups: dict = {}
+        for i, (r1, r2) in enumerate(zip(recs1, recs2)):
+            groups.setdefault((len(r1.codes), len(r2.codes)), []).append(i)
+        mapped_all: list = [None] * len(recs1)
+        kb_of: dict = {}
+        for key, idxs in groups.items():
+            m1, _m2 = key
+            k = group_k(m1)
+            kb_of[key] = k if cfg.metric == "edit" else 0
+            g1 = np.stack([recs1[i].codes for i in idxs])
+            g2 = np.stack([recs2[i].codes for i in idxs])
+            for off in range(0, len(idxs), B):
+                if args.mode == "best":
+                    # stratified PE BEST: per-stratum total-distance loop
+                    # with best-stratum early exit and best(+x)-only
+                    # emission (reference: src/searchstrategy.cpp:1091-1179)
+                    mapped = paired.map_pairs_best(
+                        index, g1[off:off + B], g2[off:off + B],
+                        cfg, pcfg, arrays.seq_starts, kmer_table,
+                        counters=ctrs)
+                else:
+                    mapped = paired.map_pairs_all(
+                        index, g1[off:off + B], g2[off:off + B],
+                        cfg.scheme_name, k, cfg.metric, pcfg,
+                        arrays.seq_starts, kmer_table, arrays=arrays)
+                for j, mp in zip(idxs[off:off + B], mapped):
+                    mapped_all[j] = mp
+                    ctrs.number_of_reads += 2
+                    ctrs.total_unique_pairs += len(mp.pairs)
+                    if mp.pairs:
+                        ctrs.mapped_pairs += 1
+                    elif mp.discordant:
+                        ctrs.discordantly_mapped_pairs += 1
+                    elif mp.unpaired1 and mp.unpaired2:
+                        ctrs.unpaired_but_mapped_pairs += 1
+                    elif mp.unpaired1 or mp.unpaired2:
+                        ctrs.mapped_half_pairs += 1
+                done += min(len(idxs) - off, B)
+                rate = done / max(_time.time() - t0, 1e-9)
+                print(f"[columba_tpu] {done} pairs ({rate:,.0f} pairs/s)",
+                      file=_sys.stderr)
+        return mapped_all, kb_of
+
+    # writer thread: emission (traceback DP + SAM) of chunk i overlaps the
+    # device work of chunk i+1 (see the SE pipeline above)
+    out_q: _queue.Queue = _queue.Queue(maxsize=2)
+    errors: list = []
+
+    def _writer(out):
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    return
+                recs1, recs2, mapped_all, kb_of = item
+                i = 0
+                while i < len(recs1):
+                    key = (len(recs1[i].codes), len(recs2[i].codes))
+                    j = i + 1
+                    while (j < len(recs1) and j - i < B
+                           and (len(recs1[j].codes),
+                                len(recs2[j].codes)) == key):
+                        j += 1
+                    out.writelines(paired.emit_sam_paired(
+                        recs1[i:j], recs2[i:j], mapped_all[i:j], arrays,
+                        kb_of[key], counters=ctrs))
+                    i = j
+        except BaseException as e:
+            errors.append(e)
+            while out_q.get() is not None:
+                pass
+
     with open(args.output, "w") as out:
         out.write(sam.header(arrays.seq_names, seq_lengths))
-        # emit in input order, batching maximal runs of the same shape group
-        i = 0
-        while i < len(recs1):
-            key = (len(recs1[i].codes), len(recs2[i].codes))
-            j = i + 1
-            while (j < len(recs1) and j - i < B
-                   and (len(recs1[j].codes), len(recs2[j].codes)) == key):
-                j += 1
-            for line in paired.emit_sam_paired(
-                recs1[i:j], recs2[i:j], mapped_all[i:j], arrays, kb_of[key],
-                counters=ctrs,
-            ):
-                out.write(line)
-            i = j
+        wrt = threading.Thread(target=_writer, args=(out,), daemon=True)
+        wrt.start()
+        for recs1, recs2 in itertools.chain(pending, chunks):
+            mapped_all, kb_of = map_chunk(recs1, recs2)
+            out_q.put((recs1, recs2, mapped_all, kb_of))
+        out_q.put(None)
+        wrt.join()
+        if errors:
+            raise errors[0]
     ctrs.report(logger, paired=True)
     return 0

@@ -98,6 +98,25 @@ def unpack_2bit(words: np.ndarray, n: int) -> np.ndarray:
     return codes[:n]
 
 
+def unpack_window(words: np.ndarray, lo: int, hi: int) -> np.ndarray:
+    """Decode codes [lo, hi) without touching the rest of the packed text
+    (a multi-Gbp genome must not be fully decoded per small query)."""
+    lo_w, hi_w = lo >> 4, (hi + 15) >> 4
+    chunk = unpack_2bit(words[lo_w:hi_w], (hi_w - lo_w) * 16)
+    return chunk[lo - (lo_w << 4): hi - (lo_w << 4)]
+
+
+def decoded_text(arrays) -> np.ndarray:
+    """Whole decoded genome, cached on the arrays object (1 B/base): the
+    emission tracebacks slice it per occurrence, and decoding per batch
+    was the host hot spot. Works for IndexArrays and BMoveArrays."""
+    d = getattr(arrays, "_decoded_text", None)
+    if d is None:
+        d = unpack_2bit(arrays.text, arrays.n)
+        object.__setattr__(arrays, "_decoded_text", d)
+    return d
+
+
 def _occ_checkpoints(codes: np.ndarray, n_rows: int) -> np.ndarray:
     """(blocks, 4) uint32 checkpoints: count of code c in codes[0:128*b)."""
     blocks = (n_rows >> 7) + 1

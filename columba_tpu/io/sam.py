@@ -98,6 +98,50 @@ def traceback(pattern: np.ndarray, window: np.ndarray, end_col: int,
     return begin, "".join(f"{n}{op}" for n, op in cigar), ed
 
 
+def best_in_window(pattern: np.ndarray, window: np.ndarray, kb: int):
+    """Best full-pattern alignment anywhere in ``window`` (free begin AND
+    free end), or None if none scores <= kb.
+
+    Mirrors the reference's one-string in-text re-verification used for
+    cross-boundary trimming (src/indexinterface.cpp:850-867 ->
+    inTextVerificationOneString; candidate ends = final-column cluster
+    centers, winner = min TextOcc, i.e. smallest begin, then distance,
+    then width, src/indexhelpers.h:779-795).
+
+    Returns (begin_col, end_col, ed, cigar) relative to window."""
+    m = len(pattern)
+    t = len(window)
+    if t == 0 or m > t + kb:
+        return None
+    D = np.zeros((m + 1, t + 1), dtype=np.int32)
+    D[:, 0] = np.arange(m + 1)
+    for j in range(1, m + 1):
+        mis = ((window != pattern[j - 1]) | (pattern[j - 1] > 3)
+               | (window > 3)).astype(np.int32)
+        diag = D[j - 1, :-1] + mis
+        up = D[j - 1, 1:] + 1
+        best = np.minimum(diag, up)
+        run = best - np.arange(1, t + 1)
+        np.minimum.accumulate(run, out=run)
+        D[j, 1:] = np.minimum(best, run + np.arange(1, t + 1))
+        D[j, 1:] = np.minimum(D[j, 1:], D[j, 0] + np.arange(1, t + 1))
+    final = D[m]
+    # candidate ends: local minima <= kb, leftmost of each plateau
+    ok = final <= kb
+    left = np.concatenate([[127], final[:-1]])
+    right = np.concatenate([final[1:], [127]])
+    cand = ok & (final <= left) & (final <= right) & (final != left)
+    cand[0] = False
+    results = []
+    for c in np.nonzero(cand)[0]:
+        b, cigar, ed = traceback(pattern, window, int(c), kb)
+        results.append((b, ed, int(c) - b, int(c), cigar))
+    if not results:
+        return None
+    b, ed, _, c, cigar = min(results)
+    return b, c, ed, cigar
+
+
 def traceback_batch(patterns, windows, kb: int):
     """Batched host traceback: one vectorized DP per read-length group.
 

@@ -115,6 +115,7 @@ def map_pairs_all(
     pcfg: PairedConfig,
     seq_starts: np.ndarray,
     kmer_table=None,
+    arrays=None,
 ) -> list[MappedPair]:
     """ALL-mode paired mapping of a batch of pairs."""
     scheme = get_scheme(scheme_name, k)
@@ -122,6 +123,10 @@ def map_pairs_all(
                                  kmer_table=kmer_table)
     occ2, _ = pipeline.match_all(index, reads2, scheme, metric=metric,
                                  kmer_table=kmer_table)
+    if arrays is not None:
+        kb = k if metric == "edit" else 0
+        occ1 = pipeline.apply_boundary_trim(occ1, reads1, arrays, kb, k)
+        occ2 = pipeline.apply_boundary_trim(occ2, reads2, arrays, kb, k)
     R = len(reads1)
     per1 = [[[], []] for _ in range(R)]
     per2 = [[[], []] for _ in range(R)]
@@ -215,6 +220,10 @@ def map_pairs_best(
                 switchpoint=cfg.switchpoint)
             if counters is not None:
                 counters.add_device_stats(stats)
+            if cfg.arrays is not None:
+                kbs = k if cfg.metric == "edit" else 0
+                occs = pipeline.apply_boundary_trim(
+                    occs, reads[idxs], cfg.arrays, kbs, k)
             for o in occs:
                 gi = idxs[o.read_id]
                 o.read_id = gi
@@ -465,10 +474,10 @@ def emit_sam_paired(
     """SAM lines for a batch of pairs: primary = best total distance,
     others secondary (reference: src/searchstrategy.cpp:1904-1980)."""
     from columba_tpu.core import alphabet
-    from columba_tpu.index.build import unpack_2bit
+    from columba_tpu.index.build import decoded_text
     from columba_tpu.io import sam
 
-    genome = unpack_2bit(arrays.text, arrays.n)
+    genome = decoded_text(arrays)
     starts = arrays.seq_starts
     lines = []
 
@@ -481,7 +490,10 @@ def emit_sam_paired(
         if key not in keymap:
             seq_codes = (rec.codes if o.strand == 0
                          else alphabet.revcomp(rec.codes))
-            w_lo = max(0, o.end - len(rec.codes) - kb)
+            # clamp to the occurrence's sequence (see strategy.emit_sam)
+            s_lo = int(starts[np.searchsorted(starts, o.end - 1,
+                                              side="right") - 1])
+            w_lo = max(s_lo, o.end - len(rec.codes) - kb)
             keymap[key] = len(tasks)
             tasks.append((seq_codes, genome[w_lo:o.end], w_lo))
 

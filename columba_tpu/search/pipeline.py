@@ -527,6 +527,78 @@ def _extract_occurrences(out, R, m, k, kb, redundancy_filter=True) -> list[Occur
     return occs
 
 
+def apply_boundary_trim(
+    occs: list[Occurrence],
+    reads_codes: np.ndarray,
+    arrays,
+    kb: int,
+    k: int,
+) -> list[Occurrence]:
+    """Cross-boundary occurrence trimming + re-verification.
+
+    The index text concatenates the input sequences with no separators, so
+    an alignment can straddle two chromosomes. Mirrors the reference's
+    findSeqName (src/indexinterface.cpp:799-897): refine the begin of any
+    suspect occurrence, and if [begin, end) really spans a boundary, trim
+    to the side within ``k`` (largestStratum) of the boundary, re-verify
+    the full read inside the clipped slice
+    (inTextVerificationOneString, :850-867), and re-bin its distance —
+    or drop it. Hamming/exact occurrences that span are dropped
+    (:829-832 disallows trimming for Hamming).
+
+    reads_codes: (R, m) original reads (strand-1 occurrences re-verify
+    against the reverse complement). Suspect detection is vectorized; the
+    per-occurrence host DP only runs for the rare boundary-window cases.
+    """
+    starts = arrays.seq_starts
+    if len(starts) <= 2 or not occs:
+        return occs
+    from columba_tpu.core import alphabet
+    from columba_tpu.index.build import unpack_window
+    from columba_tpu.io import sam
+
+    m = reads_codes.shape[1]
+    ends = np.fromiter((o.end for o in occs), dtype=np.int64, count=len(occs))
+    w_lo = np.maximum(ends - m - kb, 0)
+    i_lo = np.searchsorted(starts, w_lo, side="right")
+    i_hi = np.searchsorted(starts, ends - 1, side="right")
+    suspect = i_lo != i_hi
+    if not suspect.any():
+        return occs
+
+    out = []
+    for j, o in enumerate(occs):
+        if not suspect[j]:
+            out.append(o)
+            continue
+        pat = (reads_codes[o.read_id] if o.strand == 0
+               else alphabet.revcomp(reads_codes[o.read_id]))
+        lo0 = int(w_lo[j])
+        window = unpack_window(arrays.text, lo0, o.end)
+        begin_rel, _, _ = sam.traceback(pat, window, o.end - lo0, kb)
+        begin = lo0 + begin_rel
+        idx = int(np.searchsorted(starts, begin, side="right") - 1)
+        if o.end <= starts[idx + 1]:
+            out.append(o)  # the window crossed, the alignment did not
+            continue
+        if kb == 0:
+            continue  # hamming/exact: no trimming allowed -> drop
+        if starts[idx + 1] - begin <= k:
+            idx += 1
+            lo, hi = int(starts[idx]), int(min(o.end, starts[idx + 1]))
+        elif o.end - starts[idx + 1] <= k:
+            lo, hi = begin, int(starts[idx + 1])
+        else:
+            continue
+        res = sam.best_in_window(pat, unpack_window(arrays.text, lo, hi), k)
+        if res is None:
+            continue
+        b, e, ed, _ = res
+        out.append(Occurrence(read_id=o.read_id, strand=o.strand,
+                              begin=lo + b, end=lo + e, distance=ed))
+    return out
+
+
 def _redundancy_filter(occs: list[Occurrence], k: int) -> list[Occurrence]:
     """Among occurrences of the same read/strand with nearby ends, keep the
     best (reference: src/indexinterface.cpp:1451-1485, window 2*maxED)."""

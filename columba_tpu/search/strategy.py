@@ -18,7 +18,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from columba_tpu.core import alphabet
-from columba_tpu.index.build import IndexArrays, unpack_2bit
+from columba_tpu.index.build import IndexArrays, decoded_text
 from columba_tpu.index.fmindex import FMIndex
 from columba_tpu.io import sam
 from columba_tpu.search import pipeline
@@ -81,6 +81,8 @@ class MappingConfig:
     max_locate: int = 1 << 16
     kmer_table: object = None  # optional device seed table
     partitioning: str = "uniform"
+    arrays: object = None      # host IndexArrays; enables cross-boundary
+                               # occurrence trimming on multi-sequence texts
 
 
 @dataclass
@@ -114,6 +116,10 @@ def map_batch_all(
     )
     if counters is not None:
         counters.add_device_stats(stats)
+    if cfg.arrays is not None:
+        kb = cfg.max_distance if cfg.metric == "edit" else 0
+        occs = pipeline.apply_boundary_trim(occs, reads, cfg.arrays, kb,
+                                            cfg.max_distance)
     out = [MappedRead() for _ in range(len(reads))]
     for o in occs:
         out[o.read_id].occs.append(o)
@@ -154,6 +160,10 @@ def map_batch_best(
         )
         if counters is not None:
             counters.add_device_stats(stats)
+        if cfg.arrays is not None:
+            kbs = k if cfg.metric == "edit" else 0
+            occs = pipeline.apply_boundary_trim(occs, reads[sub],
+                                                cfg.arrays, kbs, k)
         for o in occs:
             if o.read_id >= n_live:
                 continue  # padding lane (duplicate of idxs[0])
@@ -250,7 +260,7 @@ def emit_sam(
     with xa_tag, secondaries fold into the primary's XA:Z: tag instead,
     reference: src/indexhelpers.h:418). with_cigar=False emits '*' CIGARs
     (reference -nC; the traceback still runs to refine begin positions)."""
-    genome = unpack_2bit(arrays.text, arrays.n)
+    genome = decoded_text(arrays)
     starts = arrays.seq_starts
     # batch the traceback DP across every occurrence of the whole chunk
     # (the per-record numpy DP was the host hot spot)
@@ -262,7 +272,11 @@ def emit_sam(
             seq_codes = (rec.codes if o.strand == 0
                          else alphabet.revcomp(rec.codes))
             qual = rec.qual if o.strand == 0 else rec.qual[::-1]
-            w_lo = max(0, o.end - len(rec.codes) - kb)
+            # clamp the traceback window to the occurrence's sequence so a
+            # begin never re-crosses a boundary the trim pass resolved
+            s_lo = int(starts[np.searchsorted(starts, o.end - 1,
+                                              side="right") - 1])
+            w_lo = max(s_lo, o.end - len(rec.codes) - kb)
             tasks.append((seq_codes, genome[w_lo:o.end]))
             task_meta.append((rec_i, o, seq_codes, qual, w_lo))
     tb = sam.traceback_batch([t[0] for t in tasks], [t[1] for t in tasks],
@@ -340,7 +354,8 @@ def emit_rhs(
             continue
         combos = set()
         for o in mr.occs:
-            sidx = int(np.searchsorted(starts, o.begin, side="right") - 1)
+            # assign by the (exact) end: begin is a pre-traceback estimate
+            sidx = int(np.searchsorted(starts, o.end - 1, side="right") - 1)
             sidx = max(0, min(sidx, len(arrays.seq_names) - 1))
             combos.add((o.distance, sidx))
         parts = [

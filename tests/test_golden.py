@@ -43,6 +43,19 @@ def test_parity_smoke_paired(tmp_path, mode):
          str(tmp_path))
 
 
+@pytest.mark.parametrize("spec", [
+    ["--mode", "all", "--metric", "edit", "-e", "2", "--edits"],
+    ["--mode", "best", "--metric", "edit", "--edits"],
+    ["--mode", "all", "--metric", "hamming", "-e", "2"],
+])
+def test_parity_cross_boundary(tmp_path, spec):
+    """Multi-sequence FASTA with half the reads sampled across record
+    boundaries: exercises cross-boundary occurrence trimming +
+    re-verification (reference: src/indexinterface.cpp:799-897)."""
+    _run("cigar" if "hamming" not in spec else "positions",
+         spec + ["--seqs", "4"], str(tmp_path))
+
+
 def test_parity_paired_best_multimap(tmp_path):
     """Repeat-heavy workload: pairs multi-map with different total
     distances, so PE BEST emission (best stratum only, stratum MAPQ on

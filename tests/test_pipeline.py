@@ -13,7 +13,7 @@ import pytest
 
 from columba_tpu.core import alphabet
 from columba_tpu.index.fmindex import FMIndex
-from columba_tpu.search import pipeline
+from columba_tpu.search import pipeline, strategy
 from columba_tpu.search.scheme import get_scheme
 
 from tests.conftest import sample_reads
@@ -443,3 +443,47 @@ def test_best_plus_x_semantics(fm):
         "x=1 must include the distance-1 stratum occurrence", dists)
     # occurrences beyond best + x are excluded
     assert all(d <= 1 for _, d in dists), dists
+
+
+def test_cross_boundary_trimming(rng):
+    """Occurrences straddling a concatenated-sequence boundary are trimmed
+    (clip within k of the boundary + re-verify) or dropped, mirroring the
+    reference's findSeqName (src/indexinterface.cpp:799-897)."""
+    from columba_tpu.index.build import build_index_from_codes
+
+    g = rng.integers(0, 4, size=8000).astype(np.uint8)
+    starts = np.array([0, 4000, 8000], dtype=np.int64)
+    arrays = build_index_from_codes(
+        g, seq_names=["chrA", "chrB"], seq_starts=starts)
+    idx = FMIndex.from_arrays(arrays)
+    m, k = 60, 2
+
+    # read 0: fully inside chrA (control, must survive)
+    r0 = g[1000:1000 + m].copy()
+    # read 1: straddles the boundary by 1 base (begin = 3999) -> end is
+    # k-trimmable to the boundary only if the FULL read still aligns within
+    # k against chrA's tail; losing 1 base costs 1 edit -> survives at k=2
+    # as a trimmed occurrence with distance >= 1
+    r1 = g[4000 - m + 1:4000 + 1].copy()
+    # read 2: straddles by m/2 -> far beyond k on both sides -> dropped
+    r2 = g[4000 - m // 2:4000 + m - m // 2].copy()
+    reads = np.stack([r0, r1, r2])
+
+    cfg = strategy.MappingConfig(scheme_name="kuch1", metric="edit",
+                                 mode="all", max_distance=k, arrays=arrays)
+    mapped = strategy.map_batch_all(idx, reads, cfg)
+
+    assert mapped[0].occs and mapped[0].best == 0
+    for o in mapped[0].occs:
+        assert o.end <= 4000
+    # read 1: any surviving occurrence must lie entirely within ONE
+    # sequence and carry the re-verified (worse) distance
+    for o in mapped[1].occs:
+        s_lo = int(np.searchsorted(starts, o.end - 1, side="right") - 1)
+        assert o.begin >= starts[s_lo] and o.end <= starts[s_lo + 1]
+        assert o.distance >= 1
+    # read 2: the straddling alignment cannot be trimmed within k
+    for o in mapped[2].occs:
+        s_lo = int(np.searchsorted(starts, o.end - 1, side="right") - 1)
+        assert o.begin >= starts[s_lo] and o.end <= starts[s_lo + 1]
+        assert not (3970 < o.end <= 4030), "straddler survived untrimmed"

@@ -36,20 +36,34 @@ REF_BUILD = "/tmp/colbuild/columba_build"
 
 
 def make_workload(wd, n=200_000, reads=300, m=100, maxerr=2, seed=1,
-                  edits=False):
+                  edits=False, seqs=1):
+    """With seqs > 1 the genome splits into that many FASTA records and
+    half the reads are sampled to OVERLAP a record boundary (offsets from
+    -m+1 to -1 around each junction) — the workload that exercises
+    cross-boundary occurrence trimming (reference:
+    src/indexinterface.cpp:799-897 findSeqName)."""
     os.makedirs(wd, exist_ok=True)
     rng = np.random.default_rng(seed)
     seq = "".join("ACGT"[i] for i in rng.integers(0, 4, n))
     fa = os.path.join(wd, "genome.fa")
+    bounds = [n * j // seqs for j in range(1, seqs)]
     with open(fa, "w") as f:
-        f.write(">chr1\n")
-        for i in range(0, n, 70):
-            f.write(seq[i:i + 70] + "\n")
+        cuts = [0] + bounds + [n]
+        for si in range(len(cuts) - 1):
+            f.write(f">chr{si + 1}\n")
+            part = seq[cuts[si]:cuts[si + 1]]
+            for i in range(0, len(part), 70):
+                f.write(part[i:i + 70] + "\n")
     fq = os.path.join(wd, "reads.fq")
     comp = str.maketrans("ACGT", "TGCA")
     with open(fq, "w") as f:
         for i in range(reads):
-            p = int(rng.integers(0, n - m - maxerr - 1))
+            if bounds and i % 2 == 0:
+                # straddle a junction at a random overlap
+                b = bounds[int(rng.integers(0, len(bounds)))]
+                p = int(b - rng.integers(1, m))
+            else:
+                p = int(rng.integers(0, n - m - maxerr - 1))
             s = list(seq[p:p + m + maxerr])
             for _ in range(int(rng.integers(0, maxerr + 1))):
                 j = int(rng.integers(0, m))
@@ -220,6 +234,10 @@ def main(argv=None):
     p.add_argument("--repeats", type=int, default=0,
                    help="paired workload: extra diverged copies of the "
                         "sampled region so pairs multi-map (PE BEST test)")
+    p.add_argument("--seqs", type=int, default=1,
+                   help="SE workload: split the genome into this many "
+                        "FASTA records and sample half the reads across "
+                        "record boundaries (trimming test)")
     p.add_argument("--x", type=int, default=0,
                    help="best-plus-x stratum widening (BEST mode). Known "
                         "divergence: for x>0 the reference emits UNMAPPED "
@@ -238,7 +256,8 @@ def main(argv=None):
             seed=args.seed, edits=args.edits, repeats=args.repeats)
     else:
         fa, fq = make_workload(wd, n=args.genome, reads=args.reads,
-                               maxerr=args.e, seed=args.seed, edits=args.edits)
+                               maxerr=args.e, seed=args.seed,
+                               edits=args.edits, seqs=args.seqs)
     ref_sam = run_reference(wd, fa, fq, args, fq2)
     our_sam = run_ours(wd, fa, fq, args, fq2)
     names, mismatches = compare(ref_sam, our_sam, args.level)
