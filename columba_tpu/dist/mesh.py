@@ -49,6 +49,7 @@ def sharded_match(
     kmer_table: jax.Array | None = None,
     switchpoint: int = 0,
     max_verify_per_shard: int | None = None,
+    globalize=None,
 ):
     """Run the device match step data-parallel over `mesh`.
 
@@ -57,8 +58,17 @@ def sharded_match(
     and counters psum'd (replicated scalars). The k-mer seed table (if any)
     is replicated like the index; the in-text crossover and verify sizing
     mirror the single-chip arguments, per shard.
+
+    globalize: optional fn(tree) -> tree that converts host-local arrays to
+    globally-replicated ones — required under jax.distributed where every
+    jit input must be a global array (dist/multihost.replicate).
     """
     tables = pipeline.device_tables(sched)
+    if globalize is not None:
+        index = globalize(index)
+        tables = globalize(tables)
+        if kmer_table is not None:
+            kmer_table = globalize(kmer_table)
     ndev = mesh.devices.size
     R = reads.shape[0]
     assert R % ndev == 0, f"batch {R} not divisible by {ndev} devices"
