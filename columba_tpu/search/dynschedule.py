@@ -112,8 +112,8 @@ def build_tables(st: SchemeStatic, pts: jax.Array, reads: jax.Array) -> dict:
     """Per-(read, search) schedule tables from boundaries pts (R, p+1).
 
     Returns device arrays:
-      meta   (R*S, T) int32 packed per-step scalars (same bit layout as the
-             static compiler: active|side|creset|(colo+1)<<3|ub<<8)
+      meta   (R*S, T) int32 packed per-step scalars (dyn layout decoded by
+             the executor: active|side|creset<<2|(colo+1)<<3|ub<<9|db<<17)
       pchars (R*S*T, BW) int8 band-cell codes (validity folded in)
       ex_pos (R*S, E) int32 exact-prefix read positions (-1 idle)
       ex_dir (R*S, E) int32
@@ -213,8 +213,8 @@ def build_tables(st: SchemeStatic, pts: jax.Array, reads: jax.Array) -> dict:
         | (side_t << 1)
         | (creset.astype(jnp.int32) << 2)
         | ((colo + 1) << 3)
-        | (ub_t << 8)
-        | (jnp.clip(db_t, 0, 4095) << 16)
+        | (ub_t << 9)
+        | (jnp.clip(db_t, 0, 4095) << 17)
     )                                                            # (R,S,T)
 
     # pchars codes per band cell

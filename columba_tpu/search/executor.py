@@ -66,9 +66,10 @@ def host_tables(sched: Schedule) -> dict:
 
     Per-(search, step) scalars pack into one int32 meta word (bit 0: active;
     bit 1: side; bits 2-5: cacc register; bits 6-9: cfro register; bits
-    10-17: ub; bits 18-29: back depth) plus the two packed colMin
-    register-op words each of cops/cini, stacked as one (T, S, 5) array so
-    the loop body does a single dynamic row slice per step.
+    10-17: ub; bits 18-29: back depth) plus the three packed colMin
+    register-op words each of cops/cini (7-bit slots, 4 per word), stacked
+    as one (T, S, 7) array so the loop body does a single dynamic row slice
+    per step.
 
     These MUST reach run_scheme as jit ARGUMENTS (pipeline device-puts and
     caches them per schedule), never as in-trace constants: XLA:TPU compiles
@@ -86,8 +87,8 @@ def host_tables(sched: Schedule) -> dict:
         | (sched.db.astype(np.int32) << 18)   # back depth, for in-text est
     )
     mrow = np.stack(
-        [meta.T, sched.cops[:, :, 0].T, sched.cops[:, :, 1].T,
-         sched.cini[:, :, 0].T, sched.cini[:, :, 1].T], axis=-1)
+        [meta.T] + [sched.cops[:, :, w].T for w in range(3)]
+        + [sched.cini[:, :, w].T for w in range(3)], axis=-1)
     # band cell codes with validity folded in: 0 = read pchars, -1 = no
     # diag transition, -2 = cell outside the pattern
     code = np.where(~sched.cvalid, np.int8(-2),
@@ -538,25 +539,27 @@ def run_scheme(
         if dyn is not None:
             meta = meta_flat[ids * T + t_idx]     # per-(read,search) scalars
             # translate the single-register dyn meta layout (bit 2: creset,
-            # bits 3-7: colo+1, bits 8-15 ub, bits 16-27 db) into register-op
+            # bits 3-8: colo+1, bits 9-16 ub, bits 17-28 db) into register-op
             # form (W == 1 for parametric schedules)
-            colo_d = ((meta >> 3) & 31) - 1
+            colo_d = ((meta >> 3) & 63) - 1
             cops_w = [jnp.where(colo_d >= 0,
-                                colo_d | (((meta >> 2) & 1) << 5), 31)]
+                                colo_d | (((meta >> 2) & 1) << 6), 63)]
             cini_w = [jnp.full_like(meta, 63)]
             cacc_l = jnp.where(colo_d >= 0, 0, 15)
             cfro_l = jnp.zeros_like(meta)
-            ub = (meta >> 8) & 255
-            dbv = (meta >> 16) & 4095
+            ub = (meta >> 9) & 255
+            dbv = (meta >> 17) & 4095
         else:
             # unrolled selects over the S searches; a (S, 5) gather by a
             # traced (C,) index would drop the whole step off the fast
             # codegen path
             meta = select_by(sid, meta_row[:, 0])
             cops_w = [select_by(sid, meta_row[:, 1]),
-                      select_by(sid, meta_row[:, 2])]
-            cini_w = [select_by(sid, meta_row[:, 3]),
-                      select_by(sid, meta_row[:, 4])]
+                      select_by(sid, meta_row[:, 2]),
+                      select_by(sid, meta_row[:, 3])]
+            cini_w = [select_by(sid, meta_row[:, 4]),
+                      select_by(sid, meta_row[:, 5]),
+                      select_by(sid, meta_row[:, 6])]
             cacc_l = (meta >> 2) & 15
             cfro_l = (meta >> 6) & 15
             ub = (meta >> 10) & 255
@@ -585,17 +588,17 @@ def run_scheme(
         cm_other = jnp.where(is_b[:, None], cm1, cm0)         # (C, W)
         regs = []
         for w_ in range(W):
-            op = (cops_w[w_ // 5] >> (6 * (w_ % 5))) & 63     # (C,)
-            cell = op & 31
-            rst = (op & 32) == 32
-            ini = ((cini_w[w_ // 5] >> (6 * (w_ % 5))) & 63).astype(jnp.int8)
+            op = (cops_w[w_ // 4] >> (7 * (w_ % 4))) & 127    # (C,)
+            cell = op & 63
+            rst = (op & 64) == 64
+            ini = ((cini_w[w_ // 4] >> (7 * (w_ % 4))) & 127).astype(jnp.int8)
             base = jnp.where(rst, jnp.minimum(jnp.int8(INF), ini),
                              cm_sd[:, w_])
             acc = jnp.full((C, 4), INF, jnp.int8)
             for o_ in range(bw):
                 acc = jnp.where((cell == o_)[:, None], newD[:, :, o_], acc)
             regs.append(jnp.where(
-                (cell < 31)[:, None],
+                (cell < 63)[:, None],
                 jnp.minimum(base[:, None], acc), cm_sd[:, w_][:, None]))
         new_cm_sd = jnp.stack(regs, axis=2)                   # (C, 4ch, W)
 

@@ -61,13 +61,13 @@ from columba_tpu.search.scheme import BACKWARD, FORWARD, SearchScheme
 
 INF = 63  # band infinity (int8-safe; band cells saturate here, which only
           # loosens bounds: every candidate is re-verified in-text anyway)
-MAX_REGS = 10  # colMin registers per side (2 int32 words x 5 6-bit slots)
+MAX_REGS = 10  # colMin registers per side (3 int32 words x 4 7-bit slots)
 
 
-def _pack6(vals) -> int:
-    """Pack up to 5 6-bit fields into one int32-safe int."""
-    assert len(vals) <= 5
-    return int(sum(int(v) << (6 * w) for w, v in enumerate(vals)))
+def _pack7(vals) -> int:
+    """Pack up to 4 7-bit fields into one int32-safe int."""
+    assert len(vals) <= 4
+    return int(sum(int(v) << (7 * w) for w, v in enumerate(vals)))
 
 
 @dataclass(frozen=True, eq=False)  # id-hash: usable as a jit static arg
@@ -89,12 +89,12 @@ class Schedule:
     active: np.ndarray       # bool: does search s run at step t
     side: np.ndarray         # 0 back / 1 fwd
     ub: np.ndarray           # U bound after this step
-    cops: np.ndarray         # (S, T, 2) packed per-register colMin ops: 6
-                             # bits per register w (5 per word): (cell 0..30,
-                             # 31=idle) | reset<<5
-    cini: np.ndarray         # (S, T, 2) packed per-register reset-init values
-                             # (6 bits each, 63 = none): exact-region DP folded
-                             # in when a window starts before the band does
+    cops: np.ndarray         # (S, T, 3) packed per-register colMin ops: 7
+                             # bits per register w (4 per word): (cell 0..62,
+                             # 63=idle) | reset<<6
+    cini: np.ndarray         # (S, T, 3) packed per-register reset-init values
+                             # (7 bits each, 63 = none/INF): exact-region DP
+                             # folded in when a window starts before the band
     cacc: np.ndarray         # (S, T) register of the current phase's window
                              # (15 = none): its fresh value joins the bound
     cfro: np.ndarray         # (S, T) other side's last COMPLETED window's
@@ -157,9 +157,10 @@ def compile_schedule(
         raise ValueError(
             f"empty part: pattern length {m} too short for {p} parts"
         )
-    if 2 * kb > 30:
-        raise ValueError(f"band radius {kb} > 15 exceeds the colMin cell "
-                         "packing (reference MAX_K=13)")
+    if 2 * kb > 62:
+        raise ValueError(f"band radius {kb} > 31 exceeds the colMin cell "
+                         "packing (reference MAX_K_EDIT=20, "
+                         "src/bitparallelmatrix.h:309-316)")
 
     S = len(scheme.searches)
     per_search = []
@@ -187,16 +188,16 @@ def compile_schedule(
             f"k={k} (read length {m})"
         )
 
-    cops_idle = _pack6([31] * 5)
-    cini_idle = _pack6([63] * 5)
+    cops_idle = _pack7([63] * 4)
+    cini_idle = _pack7([63] * 4)
     ex_pos = np.full((S, e_max), -1, dtype=np.int32)
     ex_dir = np.zeros((S, e_max), dtype=np.int32)
     db_ex = np.zeros((S, e_max), dtype=np.int32)
     active = np.zeros((S, t_max), dtype=bool)
     side = np.zeros((S, t_max), dtype=np.int32)
     ub = np.full((S, t_max), k, dtype=np.int32)
-    cops = np.full((S, t_max, 2), cops_idle, dtype=np.int32)
-    cini = np.full((S, t_max, 2), cini_idle, dtype=np.int32)
+    cops = np.full((S, t_max, 3), cops_idle, dtype=np.int32)
+    cini = np.full((S, t_max, 3), cini_idle, dtype=np.int32)
     cacc = np.full((S, t_max), 15, dtype=np.int32)
     cfro = np.full((S, t_max), 15, dtype=np.int32)
     db = np.zeros((S, t_max), dtype=np.int32)
@@ -355,14 +356,14 @@ def _compile_one(search, pts, kb):
     n_regs = max([w["reg"] for sd in (0, 1) for w in windows[sd]],
                  default=0) + 1
 
-    cops = np.full((T_s, 2), _pack6([31] * 5), dtype=np.int32)
-    cini = np.full((T_s, 2), _pack6([63] * 5), dtype=np.int32)
+    cops = np.full((T_s, 3), _pack7([63] * 4), dtype=np.int32)
+    cini = np.full((T_s, 3), _pack7([63] * 4), dtype=np.int32)
     cacc = np.full(T_s, 15, dtype=np.int32)
     cfro = np.full(T_s, 15, dtype=np.int32)
 
     def set_slot(tab, gi, r, val):
-        wd, sh = r // 5, 6 * (r % 5)
-        tab[gi, wd] = np.int32((int(tab[gi, wd]) & ~(63 << sh)) | (val << sh))
+        wd, sh = r // 4, 7 * (r % 4)
+        tab[gi, wd] = np.int32((int(tab[gi, wd]) & ~(127 << sh)) | (val << sh))
 
     win_of_phase = {w["phase"]: w for sd in (0, 1) for w in windows[sd]}
     for sd in (0, 1):
@@ -371,7 +372,7 @@ def _compile_one(search, pts, kb):
             for d in range(w["first_d"], E + kb + 1):
                 gi = rowidx[(sd, d)]
                 set_slot(cops, gi, r,
-                         (E - d + kb) | ((d == w["first_d"]) << 5))
+                         (E - d + kb) | ((d == w["first_d"]) << 6))
                 if d == w["first_d"] and w["init"] is not None:
                     set_slot(cini, gi, r, min(w["init"], 62))
     for gi in range(T_s):

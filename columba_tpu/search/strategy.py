@@ -49,7 +49,7 @@ def max_supported_k(scheme_name: str, m: int, metric: str = "edit") -> int:
     from columba_tpu.search.schedule import MAX_REGS
 
     family_max = {"kuch1": 4, "kuch2": 4, "pigeon": 12, "kianfar": 4,
-                  "01*0": 4, "minU": 7, "columba": 13, "naive": 13}
+                  "01*0": 4, "minU": 7, "columba": 13, "naive": 20}
     parts = _PARTS_PER_K.get(scheme_name, lambda k: k + 1)
     best = 0
     for k in range(1, family_max.get(scheme_name, 4) + 1):

@@ -142,6 +142,38 @@ def test_naive_scheme_edit(fm, rng):
     assert got == expect
 
 
+def test_naive_scheme_deep_k(rng):
+    """k=16 exceeds the old 6-bit colMin packing cap (kb<=15): the 7-bit
+    slots must carry band offsets up to 2k (reference MAX_K_EDIT=20,
+    src/bitparallelmatrix.h:309-316). Small genome: the naive k=16
+    frontier holds every SA range with bound <= k, so demand scales
+    with n."""
+    from columba_tpu.index.build import build_index_from_codes
+
+    from tests.conftest import make_genome
+
+    genome = make_genome(np.random.default_rng(7), 6000)
+    index = FMIndex.from_arrays(build_index_from_codes(genome))
+    k = 16
+    reads = sample_reads(rng, genome, num=2, length=60, max_err=8,
+                         edits=True)
+    occs, stats = pipeline.match_all(
+        index, reads, get_scheme("naive", k), metric="edit",
+        redundancy_filter=False, capacity=1 << 15,
+    )
+    assert stats["overflow"] == 0
+    got = {(o.read_id, o.strand, o.end, o.distance) for o in occs}
+    expect = set()
+    for i, r in enumerate(reads):
+        for strand, rr in ((0, r), (1, alphabet.revcomp(r))):
+            for e, d in brute_edit_ends(genome, rr, k):
+                expect.add((i, strand, e, d))
+    missing = expect - got
+    spurious = got - expect
+    assert not missing, f"lost occurrences: {sorted(missing)[:10]}"
+    assert not spurious, f"spurious occurrences: {sorted(spurious)[:10]}"
+
+
 def test_edit_insertion_at_part_boundaries(fm, rng):
     """Regression: reads with an inserted char exactly at a part/pivot
     boundary must still be found (band init allows pattern-insertions at
