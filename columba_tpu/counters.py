@@ -100,7 +100,12 @@ class Counters:
             logger.verbose_msg(
                 "Aborted in-text relative to started: N/A (No in-text "
                 "verifications started)")
+        # NOTE: this framework counts (read, search) frontier lanes alive
+        # entering the band phase — a batched proxy for the reference's
+        # SEARCH_STARTED (which counts searches entered after
+        # immediate-switch skips, src/indexinterface.cpp:377-527). The
+        # label says so to avoid implying reference-identical semantics.
         logger.verbose_msg(
-            f"Searches started (does not include immediate switches) : "
-            f"{self.search_started}")
+            f"Searches started (band-phase frontier lanes; batched proxy, "
+            f"excludes immediate switches) : {self.search_started}")
         logger.verbose_msg(f"CIGAR strings computed: {self.cigars_computed}")

@@ -59,6 +59,35 @@ def build_kmer_table(index: FMIndex, K: int = DEFAULT_K) -> jax.Array:
     return ranges
 
 
+def build_kmer_table_cached(index: FMIndex, K: int,
+                            cache_dir: str) -> jax.Array:
+    """Device k-mer table with an on-disk cache in the index directory
+    (the table is a pure function of the index + K; rebuilding it on
+    device costs a large jit compile per process, the reference instead
+    pays populateTable's DFS per process, src/indexinterface.cpp:294-335).
+    """
+    import os
+
+    import numpy as np
+
+    path = os.path.join(cache_dir, f"kmer{K}.npy")
+    if os.path.exists(path):
+        try:
+            return jax.device_put(np.load(path))
+        except (ValueError, OSError):
+            pass
+    table = build_kmer_table(index, K)
+    host = np.asarray(table)
+    try:
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.save(f, host)
+        os.replace(tmp, path)
+    except OSError:
+        pass
+    return table
+
+
 def lookup(table: jax.Array, chars: jax.Array) -> jax.Array:
     """Gather (…, 4) ranges for k-mers given as (…, K) char windows.
 

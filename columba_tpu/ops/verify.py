@@ -18,16 +18,20 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from columba_tpu.index.fmindex import FMIndex
 from columba_tpu.ops import rank
 from columba_tpu.search.schedule import INF
 
 
-NEG_T = jnp.uint32(2**32 - 2**17)  # uint32 starts >= NEG_T are wrapped
-                                   # negatives (build caps n at 2^32 - 2^18,
-                                   # reads at < 2^17 chars, so legitimate
-                                   # window starts never reach NEG_T)
+# uint32 starts >= NEG_T are wrapped negatives (build caps n at 2^32 - 2^18,
+# reads at < 2^17 chars, so legitimate window starts never reach NEG_T).
+# Host-side np scalar, NOT jnp: a module-level jnp scalar is a *device*
+# array created at import time; every trace would embed it as an MLIR
+# constant and lowering's ._value fetch then synchronizes on the device
+# transfer stream (minutes over a remote-tunnel TPU at first dispatch).
+NEG_T = np.uint32(2**32 - 2**17)
 
 
 def gather_window(index: FMIndex, starts: jax.Array, width: int) -> jax.Array:

@@ -501,7 +501,7 @@ def emit_sam_paired(
         mp = mapped[i]
         cands = sorted(mp.pairs or mp.discordant,
                        key=lambda p: (p.total_distance, p.up.begin))
-        for p in cands[:101]:  # emission stops at rank 100
+        for p in cands[:100]:  # at most 100 records per pair emitted
             o1 = p.up if p.up_is_read1 else p.down
             o2 = p.down if p.up_is_read1 else p.up
             collect(o1, r1)
@@ -565,7 +565,7 @@ def emit_sam_paired(
                     f"{r2.name}\t{f2}\t{arrays.seq_names[x2]}\t{pos2}\t{mqi}\t{c2}"
                     f"\t=\t{pos1}\t{-t1}\t{alphabet.decode(s2)}\t{q2}"
                     f"\tAS:i:{e2}\tNM:i:{e2}\tPG:Z:Columba\n")
-                if rank_i >= 100:
+                if rank_i >= 99:
                     break
             continue
         # unpaired / unmapped handling

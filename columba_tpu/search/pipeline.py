@@ -41,6 +41,66 @@ class Occurrence:
         return (self.read_id, self.strand, self.end, self.begin)
 
 
+class OccArray:
+    """Occurrences as struct-of-arrays (the host hot path keeps every
+    occurrence in numpy end to end; the reference's per-occurrence TextOcc
+    objects have no analogue here — that was the round-2 bottleneck).
+
+    Iteration / indexing yield :class:`Occurrence` views for compatibility
+    with list-based callers (tests, the paired-end orchestration)."""
+
+    __slots__ = ("read_id", "strand", "begin", "end", "distance")
+
+    def __init__(self, read_id, strand, begin, end, distance):
+        self.read_id = np.asarray(read_id, dtype=np.int64)
+        self.strand = np.asarray(strand, dtype=np.int64)
+        self.begin = np.asarray(begin, dtype=np.int64)
+        self.end = np.asarray(end, dtype=np.int64)
+        self.distance = np.asarray(distance, dtype=np.int64)
+
+    @staticmethod
+    def empty() -> "OccArray":
+        z = np.zeros(0, dtype=np.int64)
+        return OccArray(z, z, z, z, z)
+
+    @staticmethod
+    def from_list(occs) -> "OccArray":
+        if not occs:
+            return OccArray.empty()
+        return OccArray(
+            np.fromiter((o.read_id for o in occs), np.int64, len(occs)),
+            np.fromiter((o.strand for o in occs), np.int64, len(occs)),
+            np.fromiter((o.begin for o in occs), np.int64, len(occs)),
+            np.fromiter((o.end for o in occs), np.int64, len(occs)),
+            np.fromiter((o.distance for o in occs), np.int64, len(occs)),
+        )
+
+    @staticmethod
+    def concat(parts: list) -> "OccArray":
+        parts = [p for p in parts if len(p)]
+        if not parts:
+            return OccArray.empty()
+        return OccArray(*(np.concatenate([getattr(p, f) for p in parts])
+                          for f in OccArray.__slots__))
+
+    def take(self, idx) -> "OccArray":
+        return OccArray(*(getattr(self, f)[idx] for f in OccArray.__slots__))
+
+    def __len__(self):
+        return self.read_id.shape[0]
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+    def __getitem__(self, i):
+        if isinstance(i, (int, np.integer)):
+            return Occurrence(int(self.read_id[i]), int(self.strand[i]),
+                              int(self.begin[i]), int(self.end[i]),
+                              int(self.distance[i]))
+        return self.take(i)
+
+
 # ---------------------------------------------------------------------------
 # Device side
 # ---------------------------------------------------------------------------
@@ -53,6 +113,12 @@ def signed_positions(a) -> np.ndarray:
     the guard band [2^32 - 2^17, 2^32) restored to their signed meaning)."""
     v = np.asarray(a).astype(np.int64)
     return np.where(v >= NEG_T_HOST, v - 2**32, v)
+
+
+@jax.jit
+def _widen_batch(b):
+    """uint8 wire codes -> int32 device codes (see match_all_start)."""
+    return b.astype(jnp.int32)
 
 
 def crossover_caps(capacity: int, max_locate: int, switchpoint: int):
@@ -230,6 +296,52 @@ _match_device = partial(
 )(match_device_core)
 
 
+def _match_device_dyn_core(index, batch, kmer_table, search_mask, *,
+                           sched, scheme, st, m, metric, capacity,
+                           max_locate, kb, switchpoint, itv_cap,
+                           split_step, capacity2, ex_split, ex_cap):
+    """Dynamic partitioning fused with the match step: ONE compiled
+    program per (shape, scheme) computes the greedy partition scan, the
+    per-read schedule tables and the frontier search. The unfused version
+    dispatched the m-step partition scan eagerly (thousands of small
+    kernel launches + a host sync per batch — ~2.3 s/batch of pure
+    overhead on a remote-tunnel TPU)."""
+    from columba_tpu.search import dynschedule
+
+    pts = dynschedule.dynamic_partition(index, batch, scheme, kmer_table)
+    pts_dev = dynschedule.clamp_partition(pts, m, kb)
+    dyn = dynschedule.build_tables(st, pts_dev, batch)
+    return match_device_core(
+        index, batch, sched, None, capacity, max_locate, kb,
+        kmer_table, search_mask, dyn, switchpoint, itv_cap, split_step,
+        capacity2, ex_split=ex_split, ex_cap=ex_cap)
+
+
+_match_device_dyn = partial(
+    jax.jit,
+    static_argnames=("sched", "scheme", "st", "m", "metric", "capacity",
+                     "max_locate", "kb", "switchpoint", "itv_cap",
+                     "split_step", "capacity2", "ex_split", "ex_cap"),
+)(_match_device_dyn_core)
+
+
+# SchemeStatic instances cached per (scheme, m, metric) so the fused-dyn
+# jit (which takes st as a by-identity static argument) does not retrace
+# per batch.
+_SCHEME_STATIC_CACHE: dict = {}
+
+
+def _scheme_static_cached(scheme, m: int, metric: str):
+    from columba_tpu.search import dynschedule
+
+    key = (scheme, m, metric)
+    ent = _SCHEME_STATIC_CACHE.get(key)
+    if ent is None:
+        ent = dynschedule.scheme_static(scheme, m, metric)
+        _SCHEME_STATIC_CACHE[key] = ent
+    return ent
+
+
 # Schedule tables must be jit ARGUMENTS (embedded constants poison XLA:TPU
 # codegen, see executor.host_tables); device-put once per schedule. Keyed by
 # id() with the schedule kept strongly referenced so ids can't be reused.
@@ -331,7 +443,12 @@ def select_schemes(
     return combined, mask, choice
 
 
-def match_all(
+def match_all(*args, **kwargs) -> tuple["OccArray", dict]:
+    """ALL-mode matching (synchronous): dispatch + fetch + post-process."""
+    return match_all_finish(match_all_start(*args, **kwargs))
+
+
+def match_all_start(
     index: FMIndex,
     reads_codes: np.ndarray,
     scheme: SearchScheme,
@@ -346,7 +463,7 @@ def match_all(
     switchpoint: int = 0,
     ex_split: int = 0,
     ex_cap: int = 0,
-) -> tuple[list[Occurrence], dict]:
+) -> tuple[OccArray, dict]:
     """ALL-mode matching of a read batch: every occurrence with ed <= k.
 
     reads_codes: (R, m) uint8 codes. Returns (occurrences, stats).
@@ -356,22 +473,26 @@ def match_all(
     kb = k if metric == "edit" else 0
     if both_strands:
         rc = alphabet.revcomp(reads_codes, axis=-1)
-        batch = np.concatenate([reads_codes, rc]).astype(np.int32)
+        batch = np.concatenate([reads_codes, rc]).astype(np.uint8)
     else:
-        batch = reads_codes.astype(np.int32)
+        batch = reads_codes.astype(np.uint8)
+    # ship codes as uint8 (4x fewer bytes than int32 over the host->HBM
+    # link; the remote-tunnel TPU link is ~10-15 MB/s) and widen on device
+    batch_dev = _widen_batch(jnp.asarray(batch))
 
     if k == 0:
-        return _match_exact(index, batch, R, max_locate)
+        return dict(result=_match_exact(index, batch_dev, R, max_locate))
 
     from columba_tpu.index.kmer import table_k
 
     search_mask = None
     if isinstance(scheme, (list, tuple)):
         scheme, mask_np, _ = select_schemes(
-            index, jnp.asarray(batch), list(scheme), kmer_table)
+            index, batch_dev, list(scheme), kmer_table)
         search_mask = jnp.asarray(mask_np)
 
     dyn = None
+    fused_dyn = False
     n_parts = scheme.num_parts
     if (partitioning == "dynamic" and partition_pts is None
             and m < n_parts * (2 * kb + 1)):
@@ -379,16 +500,22 @@ def match_all(
         # construction); when the read cannot fit that, fall back to the
         # static compiler's short-part path (rotating colMin registers)
         partitioning = "uniform"
-    if partitioning == "dynamic" or partition_pts is not None:
+    if partitioning == "dynamic" and partition_pts is None:
+        # fused path: partition + table build + match compile into ONE
+        # program (the eager version dispatched the ~m-step partition scan
+        # as thousands of small kernels plus a host sync per batch)
         from columba_tpu.search import dynschedule
 
-        st = dynschedule.scheme_static(scheme, m, metric)
-        if partition_pts is None:
-            partition_pts = dynschedule.dynamic_partition(
-                index, jnp.asarray(batch), scheme, kmer_table)
+        st = _scheme_static_cached(scheme, m, metric)
+        dyn = "fused"
+        fused_dyn = True
+    elif partition_pts is not None:
+        from columba_tpu.search import dynschedule
+
+        st = _scheme_static_cached(scheme, m, metric)
         pts_dev = dynschedule.clamp_partition(
             jnp.asarray(partition_pts, dtype=jnp.int32), m, kb)
-        dyn = dynschedule.build_tables(st, pts_dev, jnp.asarray(batch))
+        dyn = dynschedule.build_tables(st, pts_dev, batch_dev)
 
     sched = compile_cached(scheme, m, metric,
                            kmer_k=(table_k(kmer_table)
@@ -404,16 +531,29 @@ def match_all(
         live_s = sched.num_searches
         if search_mask is not None:
             live_s = int(np.asarray(search_mask).sum(axis=1).max())
-        capacity = max(1024, batch.shape[0] * live_s)
+        # /8: seeded exact-prefix phases kill the vast majority of
+        # (read, search) lanes before the band phase (measured: 16384-read
+        # k=2 batches fit in cap 16384 with overflow 0, and device time
+        # grows ~1.3x from cap 16k to 131k). The lossless worst case is
+        # covered by the 4x overflow retry in match_all_finish.
+        capacity = max(1024, batch.shape[0] * live_s // 8)
 
     itv_cap, split_step, _ = crossover_caps(capacity, max_locate,
                                             switchpoint)
 
     def run(cap, ecap):
         _, _, cap2 = crossover_caps(cap, max_locate, switchpoint)
-        out = _match_device(
+        if fused_dyn:
+            return _match_device_dyn(
+                index, batch_dev, kmer_table, search_mask,
+                sched=sched, scheme=scheme, st=st, m=m, metric=metric,
+                capacity=int(cap), max_locate=int(max_locate), kb=kb,
+                switchpoint=int(switchpoint), itv_cap=itv_cap,
+                split_step=split_step, capacity2=cap2,
+                ex_split=int(ex_split), ex_cap=int(ecap))
+        return _match_device(
             index,
-            jnp.asarray(batch),
+            batch_dev,
             sched,
             device_tables(sched) if dyn is None else None,
             int(cap),
@@ -429,13 +569,40 @@ def match_all(
             ex_split=int(ex_split),
             ex_cap=int(ecap),
         )
-        return {kk: np.asarray(v) for kk, v in out.items()}
 
     out = run(capacity, ex_cap)
-    if auto_capacity and int(out["overflow"]) > 0:
+    return dict(out=out, run=run, capacity=capacity, ex_cap=ex_cap,
+                auto_capacity=auto_capacity, R=R, m=m, k=k, kb=kb,
+                redundancy_filter=redundancy_filter, max_locate=max_locate)
+
+
+def fetch_tree(tree):
+    """Fetch a pytree of device arrays with ONE overlapped transfer pass.
+
+    Sequential np.asarray per leaf costs a full device round trip each
+    (~66 ms over a remote-TPU tunnel; ~10 leaves -> ~0.6 s per batch).
+    Starting all device->host copies before consuming any overlaps the
+    round trips and the (slow) download bandwidth."""
+    leaves, treedef = jax.tree.flatten(tree)
+    for v in leaves:
+        if hasattr(v, "copy_to_host_async"):
+            v.copy_to_host_async()
+    return jax.tree.unflatten(treedef, [np.asarray(v) for v in leaves])
+
+
+def match_all_finish(ctx) -> tuple[OccArray, dict]:
+    """Fetch + post-process a match_all_start dispatch (may run on an
+    emission worker thread while the main thread dispatches the next
+    batch)."""
+    if "result" in ctx:
+        return ctx["result"]
+    out = fetch_tree(ctx["out"])
+    if ctx["auto_capacity"] and int(out["overflow"]) > 0:
         # frontier (or mid-exact compaction) overflowed — losslessness at
         # risk: retry once with BOTH capacities 4x larger
-        out = run(capacity * 4, ex_cap * 4)
+        out = fetch_tree(ctx["run"](ctx["capacity"] * 4, ctx["ex_cap"] * 4))
+    R, m, k, kb = ctx["R"], ctx["m"], ctx["k"], ctx["kb"]
+    max_locate = ctx["max_locate"]
     # verified windows with no occurrence <= k are the analogue of the
     # reference's aborted in-text verifications (src/indexhelpers.cpp:547-571
     # InTextVerificationTask::doTask finding no cluster center <= maxED)
@@ -451,7 +618,7 @@ def match_all(
         or bool(out["n_unique"] > max_locate),
     )
 
-    occs = _extract_occurrences(out, R, m, k, kb, redundancy_filter)
+    occs = _extract_occurrences(out, R, m, k, kb, ctx["redundancy_filter"])
     return occs, stats
 
 
@@ -470,23 +637,22 @@ def _match_exact(index, batch, R, max_locate):
     expansion runs on device via stage_expand — a single exact read with
     1e5 occurrences must not stall the host in a Python loop)."""
     m = batch.shape[1]
-    pos, cand, valid, total = _exact_device(index, jnp.asarray(batch),
-                                            int(max_locate))
-    pos, cand, valid = np.asarray(pos), np.asarray(cand), np.asarray(valid)
+    pos, cand, valid, total = fetch_tree(
+        _exact_device(index, batch, int(max_locate)))
     total = int(total)
-    occs = [
-        Occurrence(read_id=int(c) % R, strand=int(c) // R,
-                   begin=int(p), end=int(p) + m, distance=0)
-        for p, c in zip(pos[valid], cand[valid])
-    ]
-    occs.sort(key=lambda o: o.key())
+    pos_v = pos[valid].astype(np.int64)
+    cand_v = cand[valid].astype(np.int64)
+    read_id, strand = cand_v % R, cand_v // R
+    order = np.lexsort((pos_v, strand, read_id))
+    occs = OccArray(read_id[order], strand[order], pos_v[order],
+                    pos_v[order] + m, np.zeros(order.size, np.int64))
     stats = dict(total_candidates=total, overflow=0, nodes_visited=0,
                  locate_truncated=total > max_locate)
     return occs, stats
 
 
-def _extract_occurrences(out, R, m, k, kb, redundancy_filter=True) -> list[Occurrence]:
-    """Final-row cluster centers -> dedup'd occurrences.
+def _extract_occurrences(out, R, m, k, kb, redundancy_filter=True) -> OccArray:
+    """Final-row cluster centers -> dedup'd occurrences (array-native).
 
     Mirrors the reference's cluster-center reporting + unique filter
     (src/indexhelpers.cpp:276-382 cluster centers;
@@ -496,7 +662,6 @@ def _extract_occurrences(out, R, m, k, kb, redundancy_filter=True) -> list[Occur
     rows = np.asarray(out["final_rows"])
     # vectorized local-minimum (cluster-center) detection over all final
     # rows at once: leftmost-of-plateau, value <= k
-    bw = rows.shape[1]
     pad = np.full((rows.shape[0], 1), 127, rows.dtype)
     left = np.concatenate([pad, rows[:, :-1]], axis=1)
     right = np.concatenate([rows[:, 1:], pad], axis=1)
@@ -504,36 +669,34 @@ def _extract_occurrences(out, R, m, k, kb, redundancy_filter=True) -> list[Occur
     is_min[:, 1:] &= rows[:, 1:] != left[:, 1:]   # plateau: keep leftmost
     is_min &= valid[:, None]
     ii, aa = np.nonzero(is_min)
-    if ii.size:
-        rid_all = np.asarray(out["rid"])[ii]
-        end_all = signed_positions(out["win_start"])[ii] + m + (aa - kb)
-        ed_all = rows[ii, aa]
-        # min distance per (rid, end)
-        order = np.lexsort((ed_all, end_all, rid_all))
-        rid_s, end_s, ed_s = rid_all[order], end_all[order], ed_all[order]
-        first = np.concatenate(
-            [[True], (rid_s[1:] != rid_s[:-1]) | (end_s[1:] != end_s[:-1])])
-        occs = [
-            Occurrence(read_id=int(r) % R, strand=int(r) // R,
-                       begin=int(e) - m, end=int(e),  # begin refined later
-                       distance=int(d))
-            for r, e, d in zip(rid_s[first], end_s[first], ed_s[first])
-        ]
-    else:
-        occs = []
+    if not ii.size:
+        return OccArray.empty()
+    rid_all = np.asarray(out["rid"])[ii].astype(np.int64)
+    end_all = signed_positions(out["win_start"])[ii] + m + (aa - kb)
+    ed_all = rows[ii, aa].astype(np.int64)
+    # min distance per (rid, end)
+    order = np.lexsort((ed_all, end_all, rid_all))
+    rid_s, end_s, ed_s = rid_all[order], end_all[order], ed_all[order]
+    first = np.empty(order.size, bool)
+    first[0] = True
+    first[1:] = (rid_s[1:] != rid_s[:-1]) | (end_s[1:] != end_s[:-1])
+    rid2, end2, ed2 = rid_s[first], end_s[first], ed_s[first]
     if redundancy_filter:
-        occs = _redundancy_filter(occs, k)
-    occs.sort(key=lambda o: o.key())
-    return occs
+        rid2, end2, ed2 = _redundancy_filter_arr(rid2, end2, ed2, k)
+    # final order: (read_id, strand, end, begin); begin = end - m
+    read_id, strand = rid2 % R, rid2 // R
+    o2 = np.lexsort((end2, strand, read_id))
+    return OccArray(read_id[o2], strand[o2], end2[o2] - m, end2[o2],
+                    ed2[o2])
 
 
 def apply_boundary_trim(
-    occs: list[Occurrence],
+    occs: OccArray,
     reads_codes: np.ndarray,
     arrays,
     kb: int,
     k: int,
-) -> list[Occurrence]:
+) -> OccArray:
     """Cross-boundary occurrence trimming + re-verification.
 
     The index text concatenates the input sequences with no separators, so
@@ -551,14 +714,14 @@ def apply_boundary_trim(
     per-occurrence host DP only runs for the rare boundary-window cases.
     """
     starts = arrays.seq_starts
-    if len(starts) <= 2 or not occs:
+    if len(starts) <= 2 or not len(occs):
         return occs
     from columba_tpu.core import alphabet
     from columba_tpu.index.build import unpack_window
     from columba_tpu.io import sam
 
     m = reads_codes.shape[1]
-    ends = np.fromiter((o.end for o in occs), dtype=np.int64, count=len(occs))
+    ends = occs.end
     w_lo = np.maximum(ends - m - kb, 0)
     i_lo = np.searchsorted(starts, w_lo, side="right")
     i_hi = np.searchsorted(starts, ends - 1, side="right")
@@ -566,27 +729,30 @@ def apply_boundary_trim(
     if not suspect.any():
         return occs
 
-    out = []
-    for j, o in enumerate(occs):
-        if not suspect[j]:
-            out.append(o)
-            continue
-        pat = (reads_codes[o.read_id] if o.strand == 0
-               else alphabet.revcomp(reads_codes[o.read_id]))
+    # keep arrays; only the (rare) suspects pay a per-occurrence host DP
+    keep = ~suspect
+    nb = occs.begin.copy()
+    ne = occs.end.copy()
+    nd = occs.distance.copy()
+    for j in np.nonzero(suspect)[0]:
+        o_rid, o_str = int(occs.read_id[j]), int(occs.strand[j])
+        o_end = int(occs.end[j])
+        pat = (reads_codes[o_rid] if o_str == 0
+               else alphabet.revcomp(reads_codes[o_rid]))
         lo0 = int(w_lo[j])
-        window = unpack_window(arrays.text, lo0, o.end)
-        begin_rel, _, _ = sam.traceback(pat, window, o.end - lo0, kb)
+        window = unpack_window(arrays.text, lo0, o_end)
+        begin_rel, _, _ = sam.traceback(pat, window, o_end - lo0, kb)
         begin = lo0 + begin_rel
         idx = int(np.searchsorted(starts, begin, side="right") - 1)
-        if o.end <= starts[idx + 1]:
-            out.append(o)  # the window crossed, the alignment did not
+        if o_end <= starts[idx + 1]:
+            keep[j] = True  # the window crossed, the alignment did not
             continue
         if kb == 0:
             continue  # hamming/exact: no trimming allowed -> drop
         if starts[idx + 1] - begin <= k:
             idx += 1
-            lo, hi = int(starts[idx]), int(min(o.end, starts[idx + 1]))
-        elif o.end - starts[idx + 1] <= k:
+            lo, hi = int(starts[idx]), int(min(o_end, starts[idx + 1]))
+        elif o_end - starts[idx + 1] <= k:
             lo, hi = begin, int(starts[idx + 1])
         else:
             continue
@@ -594,28 +760,30 @@ def apply_boundary_trim(
         if res is None:
             continue
         b, e, ed, _ = res
-        out.append(Occurrence(read_id=o.read_id, strand=o.strand,
-                              begin=lo + b, end=lo + e, distance=ed))
-    return out
+        keep[j] = True
+        nb[j], ne[j], nd[j] = lo + b, lo + e, ed
+    return OccArray(occs.read_id[keep], occs.strand[keep], nb[keep],
+                    ne[keep], nd[keep])
 
 
-def _redundancy_filter(occs: list[Occurrence], k: int) -> list[Occurrence]:
+def _redundancy_filter_arr(rid, end, ed, k: int):
     """Among occurrences of the same read/strand with nearby ends, keep the
-    best (reference: src/indexinterface.cpp:1451-1485, window 2*maxED)."""
-    byread: dict = {}
-    for o in occs:
-        byread.setdefault((o.read_id, o.strand), []).append(o)
-    kept = []
-    for group in byread.values():
-        group.sort(key=lambda o: (o.end, o.distance))
-        cluster: list[Occurrence] = []
-        for o in group:
-            if cluster and o.end - cluster[-1].end <= max(1, 2 * k) - 1:
-                cluster.append(o)
-            else:
-                if cluster:
-                    kept.append(min(cluster, key=lambda x: (x.distance, x.end)))
-                cluster = [o]
-        if cluster:
-            kept.append(min(cluster, key=lambda x: (x.distance, x.end)))
-    return kept
+    best (reference: src/indexinterface.cpp:1451-1485, window 2*maxED).
+
+    Inputs must be sorted by (rid, end, ed); rid encodes (read, strand).
+    Clusters chain consecutive ends within max(1, 2k)-1; the kept entry per
+    cluster is min by (distance, end). Returns filtered (rid, end, ed)."""
+    n = rid.shape[0]
+    if n == 0:
+        return rid, end, ed
+    thresh = max(1, 2 * k) - 1
+    new = np.empty(n, bool)
+    new[0] = True
+    new[1:] = (rid[1:] != rid[:-1]) | ((end[1:] - end[:-1]) > thresh)
+    cid = np.cumsum(new) - 1
+    order = np.lexsort((end, ed, cid))
+    firstc = np.empty(n, bool)
+    firstc[0] = True
+    firstc[1:] = cid[order][1:] != cid[order][:-1]
+    keep = np.sort(order[firstc])
+    return rid[keep], end[keep], ed[keep]

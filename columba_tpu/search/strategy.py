@@ -104,23 +104,38 @@ def _scheme_for(cfg: MappingConfig, k: int):
     return get_scheme(cfg.scheme_name, k)
 
 
-def map_batch_all(
-    index: FMIndex, reads: np.ndarray, cfg: MappingConfig, counters=None
-) -> list[MappedRead]:
+def map_batch_all_start(index: FMIndex, reads: np.ndarray,
+                        cfg: MappingConfig):
+    """Dispatch ALL-mode matching of a batch; returns an opaque handle for
+    map_batch_all_finish (lets an emission thread overlap the fetch +
+    post-processing with the next batch's device work, the TPU analogue of
+    the reference's reader/worker/writer overlap)."""
     scheme = _scheme_for(cfg, cfg.max_distance)
-    occs, stats = pipeline.match_all(
+    return pipeline.match_all_start(
         index, reads, scheme, metric=cfg.metric,
         capacity=cfg.capacity, max_locate=cfg.max_locate,
         kmer_table=cfg.kmer_table, partitioning=cfg.partitioning,
         switchpoint=cfg.switchpoint,
     )
+
+
+def map_batch_all_finish(ctx, index: FMIndex, reads: np.ndarray,
+                         cfg: MappingConfig, counters=None):
+    """Fetch + post-process a dispatched batch -> (OccArray, stats)."""
+    occs, stats = pipeline.match_all_finish(ctx)
     if counters is not None:
         counters.add_device_stats(stats)
     if cfg.arrays is not None:
         kb = cfg.max_distance if cfg.metric == "edit" else 0
         occs = pipeline.apply_boundary_trim(occs, reads, cfg.arrays, kb,
                                             cfg.max_distance)
-    out = [MappedRead() for _ in range(len(reads))]
+    return occs, stats
+
+
+def _group_mapped(occs, n_reads: int) -> list[MappedRead]:
+    """OccArray -> per-read MappedRead lists (compat representation for
+    the paired-end path and tests; the fast SE path never builds these)."""
+    out = [MappedRead() for _ in range(n_reads)]
     for o in occs:
         out[o.read_id].occs.append(o)
     for mr in out:
@@ -130,21 +145,32 @@ def map_batch_all(
     return out
 
 
-def map_batch_best(
+def map_batch_all(
     index: FMIndex, reads: np.ndarray, cfg: MappingConfig, counters=None
 ) -> list[MappedRead]:
+    ctx = map_batch_all_start(index, reads, cfg)
+    occs, _ = map_batch_all_finish(ctx, index, reads, cfg, counters)
+    return _group_mapped(occs, len(reads))
+
+
+def map_batch_best_arr(
+    index: FMIndex, reads: np.ndarray, cfg: MappingConfig, counters=None
+):
     """BEST(+x) mapping with per-read stratum compaction: each stratum runs
     only the reads that still need it (resolved reads drop out — the batched
     substitute for the reference's per-read early exit), padded to
-    power-of-two sizes so the set of compiled batch shapes stays bounded."""
+    power-of-two sizes so the set of compiled batch shapes stays bounded.
+
+    Array-native: occurrences stay in OccArrays end to end. Returns the
+    final best(+x)-filtered OccArray (read ids global to ``reads``).
+    """
     R, m = reads.shape
     supported = max_supported_k(cfg.scheme_name, m, cfg.metric)
     cutoff = get_max_ed(cfg.min_identity, m, max(supported, 1))
     x = cfg.best_plus_x
-    out = [MappedRead() for _ in range(R)]
     best = np.full(R, cutoff + 1, dtype=np.int64)
     explored = np.full(R, -1, dtype=np.int64)
-    collected: list[list] = [[] for _ in range(R)]
+    parts: list = []
 
     def run_stratum(k: int, idxs: np.ndarray):
         n_live = len(idxs)
@@ -164,13 +190,11 @@ def map_batch_best(
             kbs = k if cfg.metric == "edit" else 0
             occs = pipeline.apply_boundary_trim(occs, reads[sub],
                                                 cfg.arrays, kbs, k)
-        for o in occs:
-            if o.read_id >= n_live:
-                continue  # padding lane (duplicate of idxs[0])
-            o.read_id = int(idxs[o.read_id])
-            collected[o.read_id].append(o)
-            if o.distance < best[o.read_id]:
-                best[o.read_id] = o.distance
+        occs = occs.take(occs.read_id < n_live)  # drop padding lanes
+        occs.read_id = idxs[occs.read_id]        # remap to global ids
+        parts.append(occs)
+        if len(occs):
+            np.minimum.at(best, occs.read_id, occs.distance)
         explored[idxs] = np.maximum(explored[idxs], k)
 
     run_stratum(0, np.arange(R))
@@ -178,41 +202,49 @@ def map_batch_best(
         # per-read next stratum: reads with a best need their +x target,
         # others follow the reference ladder (searchstrategy.cpp:676-709:
         # k += x + (2 if k < 5 else 4)); resolved reads drop out
-        needs: dict[int, list[int]] = {}
-        for i in range(R):
-            if explored[i] >= cutoff:
-                continue
-            if best[i] <= cutoff:
-                target = min(int(best[i]) + x, cutoff)
-                if explored[i] >= target:
-                    continue
-                nk = target
-            else:
-                cur = int(explored[i])
-                step = 2 if cur < 5 else 4
-                nk = max(x, 1) if cur == 0 else min(cur + x + step, cutoff)
-            needs.setdefault(nk, []).append(i)
-        if not needs:
+        has_best = best <= cutoff
+        target = np.minimum(best + x, cutoff)
+        step = np.where(explored < 5, 2, 4)
+        ladder = np.where(explored == 0, max(x, 1),
+                          np.minimum(explored + x + step, cutoff))
+        nk = np.where(has_best, target, ladder)
+        need = ((explored < cutoff)
+                & np.where(has_best, explored < target, True))
+        if not need.any():
             break
-        for nk, idx_list in sorted(needs.items()):
-            run_stratum(nk, np.asarray(idx_list))
+        for k in np.unique(nk[need]):
+            run_stratum(int(k), np.nonzero(need & (nk == k))[0])
 
-    for i in range(R):
-        if best[i] > cutoff:
-            continue
-        hi = min(best[i] + x, cutoff)
-        occs = [o for o in collected[i] if best[i] <= o.distance <= hi]
-        # dedup across strata
-        seen = {}
-        for o in occs:
-            key = (o.strand, o.end)
-            if key not in seen or seen[key].distance > o.distance:
-                seen[key] = o
-        mr = out[i]
-        mr.occs = sorted(seen.values(), key=lambda o: o.key())
-        mr.best = int(best[i])
-        mr.n_best = sum(1 for o in mr.occs if o.distance == mr.best)
-    return out
+    allo = pipeline.OccArray.concat(parts)
+    if not len(allo):
+        return allo
+    rb = best[allo.read_id]
+    hi = np.minimum(rb + x, cutoff)
+    allo = allo.take((rb <= cutoff) & (allo.distance >= rb)
+                     & (allo.distance <= hi))
+    if not len(allo):
+        return allo
+    # dedup across strata by (read, strand, end): min distance wins, first
+    # collected wins ties (higher-k reruns rediscover lower-distance occs)
+    ordidx = np.arange(len(allo))
+    o = np.lexsort((ordidx, allo.distance, allo.end, allo.strand,
+                    allo.read_id))
+    first = np.empty(o.size, bool)
+    first[0] = True
+    rid_s, str_s, end_s = (allo.read_id[o], allo.strand[o], allo.end[o])
+    first[1:] = ((rid_s[1:] != rid_s[:-1]) | (str_s[1:] != str_s[:-1])
+                 | (end_s[1:] != end_s[:-1]))
+    allo = allo.take(o[first])
+    # final order (read, strand, end, begin)
+    o2 = np.lexsort((allo.begin, allo.end, allo.strand, allo.read_id))
+    return allo.take(o2)
+
+
+def map_batch_best(
+    index: FMIndex, reads: np.ndarray, cfg: MappingConfig, counters=None
+) -> list[MappedRead]:
+    occs = map_batch_best_arr(index, reads, cfg, counters)
+    return _group_mapped(occs, len(reads))
 
 
 def _final_redundancy_filter(finalized, max_ed):
