@@ -35,7 +35,12 @@ def _compile(name: str, sources: list[str], extra_flags: list[str] | None = None
 
 
 def load(name: str, sources: list[str]) -> ctypes.CDLL | None:
-    """Load (compiling if needed) a native library; None if unavailable."""
+    """Load (compiling if needed) a native library; None if unavailable.
+
+    COLUMBA_TPU_NO_NATIVE=1 disables all native components (callers fall
+    back to their pure-Python paths)."""
+    if os.environ.get("COLUMBA_TPU_NO_NATIVE"):
+        return None
     with _LOCK:
         if name in _LIBS:
             return _LIBS[name]
