@@ -41,6 +41,12 @@ def main(argv=None):
     b.add_argument("--write-preprocessed", action="store_true")
     b.add_argument("--rlc", action="store_true",
                    help="build the run-length-compressed (b-move) flavor")
+    b.add_argument("-B", "--max-block-bp", type=int, default=None,
+                   help="build a block-partitioned index with blocks of "
+                        "whole sequences up to this many bp — the path past "
+                        "the 4.29 Gbp single-index ceiling (reference "
+                        "covers that regime via 64-bit words + Big-BWT, "
+                        "src/definitions.h:69-75)")
     b.add_argument("--log-file", default=None)
     b.add_argument("-v", "--verbose", action="store_true")
 
@@ -138,6 +144,23 @@ def cmd_build(args):
     if not fastas:
         raise SystemExit("build: provide FASTA files via -f and/or -F")
     t0 = time.time()
+    if args.max_block_bp is not None:
+        if args.rlc:
+            raise SystemExit("build: --max-block-bp is Vanilla-only")
+        from columba_tpu.index.blocked import build_blocked_index
+
+        meta = build_blocked_index(
+            fastas, args.index, max_block_bp=args.max_block_bp,
+            sa_sparseness=1 if args.all_sa_sparseness else args.sa_sparseness,
+            seed=args.seed, seed_length=args.seed_length,
+        )
+        print(
+            f"[columba_tpu build] n={meta['n']} seqs={meta['num_seqs']} "
+            f"blocks={len(meta['blocks'])} in {time.time()-t0:.1f}s "
+            f"-> {args.index}",
+            file=sys.stderr,
+        )
+        return 0
     if args.rlc:
         from columba_tpu.index.bmove import build_bmove
 
@@ -194,6 +217,8 @@ def cmd_align(args):
 
     with open(_os.path.join(args.index, "meta.json")) as _f:
         _flavor = _json.load(_f).get("flavor", "vanilla")
+    if _flavor == "blocked":
+        return _align_blocked(args)
     rlc = _flavor == "rlc"
     # In-process device-index cache: repeated cli.main() calls in one
     # process (a long-running service, or bench warmup + timed run) reuse
@@ -713,4 +738,131 @@ def _align_paired(args, arrays, index, cfg, kmer_table):
         if errors:
             raise errors[0]
     ctrs.report(logger, paired=True)
+    return 0
+
+
+def _align_blocked(args):
+    """Single-end alignment against a block-partitioned index: every read
+    batch is mapped against each block (index swapped in HBM between
+    blocks), occurrence sets merged on the host, emission against the
+    global sequence view. See index/blocked.py for the merge semantics."""
+    import numpy as np
+
+    from columba_tpu import compile_cache
+    from columba_tpu.counters import Counters
+    from columba_tpu.index import blocked
+    from columba_tpu.index.fmindex import FMIndex
+    from columba_tpu.io import fastq, sam
+    from columba_tpu.logger import logger
+    from columba_tpu.search import pipeline, strategy
+    from columba_tpu.search.strategy import (
+        MappingConfig, emit_rhs, emit_sam, get_max_ed, max_supported_k,
+    )
+
+    if args.reads2 is not None:
+        raise SystemExit(
+            "blocked index: paired-end mapping is not supported yet; map "
+            "each side single-ended or build per-block indexes")
+    compile_cache.enable()
+    logger.verbose = args.verbose
+    if args.log_file:
+        logger.set_log_file(args.log_file)
+    meta = blocked.load_blocked_meta(args.index)
+    t0 = time.time()
+
+    reader = fastq.parse_reads(args.reads)
+    if args.trim:
+        start, end = (int(x) for x in args.trim.split("-"))
+        reader = fastq.trim_records(reader, start, end)
+    batches = list(fastq.batches_by_length(reader, args.batch_size))
+    ctrs = Counters()
+    kb_for = lambda k: k if args.metric == "edit" else 0
+    kmer_k = max(0, min(int(args.kmer_size), 13))
+    dynamic_selection = (args.scheme == "columba"
+                        and not args.no_dynamic_selection)
+
+    per_batch: list[list] = [[] for _ in batches]
+    block_arrays = []
+    for bm, arrays in blocked.iter_blocks(args.index, meta):
+        index = FMIndex.from_arrays(arrays)
+        kmer_table = None
+        if not args.no_kmer_table and kmer_k > 0:
+            from columba_tpu.index.kmer import build_kmer_table_cached
+
+            kmer_table = build_kmer_table_cached(
+                index, kmer_k, os.path.join(args.index, bm["dir"]))
+        cfg = MappingConfig(
+            scheme_name=args.scheme, metric=args.metric, mode=args.mode,
+            max_distance=args.max_distance, best_plus_x=args.best_plus_x,
+            min_identity=args.min_identity, capacity=args.capacity,
+            kmer_table=kmer_table, dynamic_selection=dynamic_selection,
+            partitioning=args.partitioning, switchpoint=args.in_text,
+            arrays=arrays,
+        )
+        off = int(bm["text_offset"])
+        for bi, (records, codes) in enumerate(batches):
+            if args.mode == "all":
+                ctx = strategy.map_batch_all_start(index, codes, cfg)
+                occs, _ = strategy.map_batch_all_finish(
+                    ctx, index, codes, cfg, ctrs)
+            else:
+                occs = strategy.map_batch_best_arr(index, codes, cfg, ctrs)
+            occs.begin = occs.begin + off
+            occs.end = occs.end + off
+            per_batch[bi].append(occs)
+        block_arrays.append(arrays)
+        del index, kmer_table  # next block evicts this one from HBM
+        logger.verbose_msg(f"block {bm['dir']} mapped "
+                           f"({time.time()-t0:.1f}s)")
+
+    view = blocked.make_view(args.index, meta, block_arrays)
+    rhs_output = args.output.endswith(".rhs")
+    n_reads = n_mapped = n_records = 0
+    with open(args.output, "w") as out:
+        if not rhs_output:
+            out.write(sam.header(view.seq_names,
+                                 list(np.diff(view.seq_starts)),
+                                 command_line=" ".join(sys.argv)))
+        for (records, codes), occ_parts in zip(batches, per_batch):
+            m_len = codes.shape[1]
+            if args.mode == "best":
+                cutoff = get_max_ed(
+                    args.min_identity, m_len,
+                    max(max_supported_k(args.scheme, m_len, args.metric), 1))
+                merged = blocked.merge_best(occ_parts, args.best_plus_x,
+                                            cutoff)
+                kb = kb_for(cutoff)
+            else:
+                merged = pipeline.OccArray.concat(occ_parts)
+                if len(merged):
+                    o = np.lexsort((merged.begin, merged.end, merged.strand,
+                                    merged.read_id))
+                    merged = merged.take(o)
+                kb = kb_for(args.max_distance)
+            mapped = strategy._group_mapped(merged, len(codes))
+            mapped = mapped[: len(records)]
+            if rhs_output:
+                lines = emit_rhs(records, mapped, view)
+            else:
+                lines = emit_sam(
+                    records, mapped, view, None, kb, mode=args.mode,
+                    xa_tag=args.xa_tag,
+                    unmapped_records=not args.no_unmapped,
+                    with_cigar=not args.no_cigar, counters=ctrs)
+            out.writelines(lines)
+            n_reads += len(records)
+            n_mapped += sum(1 for mr in mapped if mr.occs)
+            n_records += sum(len(mr.occs) for mr in mapped)
+            ctrs.number_of_reads += len(records)
+            ctrs.mapped_reads += sum(1 for mr in mapped if mr.occs)
+            ctrs.total_unique_matches += n_records
+            ctrs.total_reported_positions += n_records
+    pct = 100.0 * n_mapped / max(n_reads, 1)
+    print(
+        f"[columba_tpu] done: {n_reads} reads, {pct:.2f}% mapped, "
+        f"{n_records} alignments over {len(meta['blocks'])} blocks, "
+        f"total {time.time() - t0:.1f}s",
+        file=sys.stderr,
+    )
+    ctrs.report(logger, paired=False)
     return 0

@@ -40,6 +40,14 @@ class Counters:
         self.in_text_started += stats.get("itv_started", 0)
         self.search_started += stats.get("searches_started", 0)
         self.aborted_in_text += stats.get("aborted_in_text", 0)
+        if stats.get("locate_truncated"):
+            # only reachable with an explicit (non-auto) max_locate: the
+            # auto-sized path retries losslessly in match_all_finish
+            from columba_tpu.logger import logger
+
+            logger.warning(
+                "locate/verify capacity exceeded even after retries — "
+                "occurrences were dropped; raise max_locate")
 
     def report(self, logger, paired: bool = False):
         n = self.number_of_reads

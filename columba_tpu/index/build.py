@@ -255,46 +255,64 @@ def build_index_from_codes(
     def bwt_of(text: np.ndarray):
         """BWT rows of text+'$' with '$' slot as code 0.
 
-        Returns (bwt codes (big,), dollar row, sa (n,) int64). Chunked
-        gathers: a GRCh38-scale build must not allocate int64 temporaries
-        of the whole text beyond the SA itself."""
+        Returns (bwt codes (big,), dollar row, sa (n,)). Chunked gathers: a
+        GRCh38-scale build must not allocate int64 temporaries of the whole
+        text beyond the SA itself."""
         sa = suffix_array(text, method=sa_method)
         dollar_row = int(np.nonzero(sa == 0)[0][0]) + 1  # +1: '$' row first
         bwt_codes = np.empty(big, dtype=np.uint8)
         bwt_codes[0] = text[n - 1]
         for lo in range(0, n, CH):
             hi = min(lo + CH, n)
-            idx = sa[lo:hi] - 1
-            np.maximum(idx, 0, out=idx)
+            seg = sa[lo:hi]
+            # seg may be uint32: guard the 0-1 wrap instead of clamping
+            idx = np.where(seg == 0, seg, seg - 1)
             bwt_codes[lo + 1:hi + 1] = text[idx]
         bwt_codes[dollar_row] = 0  # '$' slot stored as code 0
         return bwt_codes, dollar_row, sa
 
     f = int(sa_sparseness)
-    bwt_codes, dollar_fwd, sa = bwt_of(codes)
-    occ = _occ_checkpoints(bwt_codes, big)
-    # sparse SA sampling over sa_full = [n] + sa
-    sampled = np.empty(big, dtype=bool)
-    sampled[0] = (n % f) == 0
-    for lo in range(0, n, CH):
-        hi = min(lo + CH, n)
-        np.equal(sa[lo:hi] % f, 0, out=sampled[lo + 1:hi + 1])
-    sa_samples = np.empty(int(sampled.sum()), dtype=np.uint32)
-    if sampled[0]:
-        sa_samples[0] = n
-    w = int(sampled[0])
-    for lo in range(0, n, CH):
-        hi = min(lo + CH, n)
-        vals = sa[lo:hi][sampled[lo + 1:hi + 1]]
-        sa_samples[w:w + len(vals)] = vals
-        w += len(vals)
-    sa_bits, sa_bits_rank = _pack_bits(sampled)
-    del sa, sampled
 
-    rcodes = codes[::-1].copy()
-    rbwt_codes, dollar_rev, rsa = bwt_of(rcodes)
-    del rsa, rcodes
-    rocc = _occ_checkpoints(rbwt_codes, big)
+    def build_fwd():
+        bwt_codes, dollar_fwd, sa = bwt_of(codes)
+        occ = _occ_checkpoints(bwt_codes, big)
+        # sparse SA sampling over sa_full = [n] + sa
+        sampled = np.empty(big, dtype=bool)
+        sampled[0] = (n % f) == 0
+        for lo in range(0, n, CH):
+            hi = min(lo + CH, n)
+            np.equal(sa[lo:hi] % f, 0, out=sampled[lo + 1:hi + 1])
+        sa_samples = np.empty(int(sampled.sum()), dtype=np.uint32)
+        if sampled[0]:
+            sa_samples[0] = n
+        w = int(sampled[0])
+        for lo in range(0, n, CH):
+            hi = min(lo + CH, n)
+            vals = sa[lo:hi][sampled[lo + 1:hi + 1]]
+            sa_samples[w:w + len(vals)] = vals
+            w += len(vals)
+        sa_bits, sa_bits_rank = _pack_bits(sampled)
+        return bwt_codes, dollar_fwd, occ, sa_samples, sa_bits, sa_bits_rank
+
+    def build_rev():
+        rcodes = codes[::-1].copy()
+        rbwt_codes, dollar_rev, rsa = bwt_of(rcodes)
+        del rsa, rcodes
+        rocc = _occ_checkpoints(rbwt_codes, big)
+        return rbwt_codes, dollar_rev, rocc
+
+    # The two directions are independent; the native SA-IS releases the GIL
+    # (ctypes) and the numpy passes mostly do too, so two threads overlap the
+    # dominant cost (the reference instead runs them sequentially,
+    # src/buildindex.cpp:1964-1996).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as pool:
+        fut_fwd = pool.submit(build_fwd)
+        fut_rev = pool.submit(build_rev)
+        bwt_codes, dollar_fwd, occ, sa_samples, sa_bits, sa_bits_rank = \
+            fut_fwd.result()
+        rbwt_codes, dollar_rev, rocc = fut_rev.result()
 
     char_counts = np.bincount(codes, minlength=4).astype(np.int64)
     counts = np.zeros(4, dtype=np.int64)

@@ -22,7 +22,11 @@ from columba_tpu import native
 
 
 def suffix_array(text_codes: np.ndarray, method: str = "auto") -> np.ndarray:
-    """Suffix array (int64, n entries) of text_codes (uint8, no sentinel)."""
+    """Suffix array (n entries) of text_codes (uint8, no sentinel).
+
+    Returned dtype is uint32 when the native kernel handled it (n < 2^32-1)
+    and int64 otherwise — callers treat values as non-negative row indices.
+    """
     text_codes = np.ascontiguousarray(text_codes, dtype=np.uint8)
     n = len(text_codes)
     if n == 0:
@@ -41,13 +45,19 @@ def _sais_native(text_codes: np.ndarray) -> np.ndarray | None:
     if lib is None:
         return None
     n = len(text_codes)
-    sa = np.empty(n, dtype=np.int64)
-    fn = lib.sais_u8
+    if n < 2**32 - 1 and hasattr(lib, "sais_u8_u32"):
+        sa = np.empty(n, dtype=np.uint32)
+        fn = lib.sais_u8_u32
+        ptr = sa.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+    else:
+        sa = np.empty(n, dtype=np.int64)
+        fn = lib.sais_u8
+        ptr = sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
     fn.restype = ctypes.c_int
     rc = fn(
         text_codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.c_int64(n),
-        sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ptr,
     )
     if rc != 0:
         return None

@@ -454,7 +454,7 @@ def match_all_start(
     scheme: SearchScheme,
     metric: str = "edit",
     capacity: int | None = None,
-    max_locate: int = 1 << 16,
+    max_locate: int | None = None,
     both_strands: bool = True,
     redundancy_filter: bool = True,
     kmer_table=None,
@@ -480,8 +480,24 @@ def match_all_start(
     # link; the remote-tunnel TPU link is ~10-15 MB/s) and widen on device
     batch_dev = _widen_batch(jnp.asarray(batch))
 
+    # locate/verify capacities must scale with the batch: a fixed cap
+    # silently truncates stage_expand at larger batch sizes (measured: the
+    # k=4 100k-read matrix run dropped 44% of reads at batch 16384 with the
+    # old fixed 1<<16). Auto-sized caps also arm the lossless spill retry
+    # in match_all_finish.
+    auto_locate = max_locate is None
+    if auto_locate:
+        max_locate = max(1 << 16, 4 * batch.shape[0])
+
     if k == 0:
-        return dict(result=_match_exact(index, batch_dev, R, max_locate))
+        occs_stats = _match_exact(index, batch_dev, R, max_locate)
+        tries = 0
+        while (auto_locate and occs_stats[1]["locate_truncated"]
+               and tries < 3):
+            max_locate *= 4
+            occs_stats = _match_exact(index, batch_dev, R, max_locate)
+            tries += 1
+        return dict(result=occs_stats)
 
     from columba_tpu.index.kmer import table_k
 
@@ -538,16 +554,13 @@ def match_all_start(
         # covered by the 4x overflow retry in match_all_finish.
         capacity = max(1024, batch.shape[0] * live_s // 8)
 
-    itv_cap, split_step, _ = crossover_caps(capacity, max_locate,
-                                            switchpoint)
-
-    def run(cap, ecap):
-        _, _, cap2 = crossover_caps(cap, max_locate, switchpoint)
+    def run(cap, ecap, ml):
+        itv_cap, split_step, cap2 = crossover_caps(cap, ml, switchpoint)
         if fused_dyn:
             return _match_device_dyn(
                 index, batch_dev, kmer_table, search_mask,
                 sched=sched, scheme=scheme, st=st, m=m, metric=metric,
-                capacity=int(cap), max_locate=int(max_locate), kb=kb,
+                capacity=int(cap), max_locate=int(ml), kb=kb,
                 switchpoint=int(switchpoint), itv_cap=itv_cap,
                 split_step=split_step, capacity2=cap2,
                 ex_split=int(ex_split), ex_cap=int(ecap))
@@ -557,7 +570,7 @@ def match_all_start(
             sched,
             device_tables(sched) if dyn is None else None,
             int(cap),
-            int(max_locate),
+            int(ml),
             kb,
             kmer_table,
             search_mask,
@@ -570,9 +583,10 @@ def match_all_start(
             ex_cap=int(ecap),
         )
 
-    out = run(capacity, ex_cap)
+    out = run(capacity, ex_cap, max_locate)
     return dict(out=out, run=run, capacity=capacity, ex_cap=ex_cap,
-                auto_capacity=auto_capacity, R=R, m=m, k=k, kb=kb,
+                auto_capacity=auto_capacity, auto_locate=auto_locate,
+                R=R, m=m, k=k, kb=kb,
                 redundancy_filter=redundancy_filter, max_locate=max_locate)
 
 
@@ -597,12 +611,24 @@ def match_all_finish(ctx) -> tuple[OccArray, dict]:
     if "result" in ctx:
         return ctx["result"]
     out = fetch_tree(ctx["out"])
-    if ctx["auto_capacity"] and int(out["overflow"]) > 0:
-        # frontier (or mid-exact compaction) overflowed — losslessness at
-        # risk: retry once with BOTH capacities 4x larger
-        out = fetch_tree(ctx["run"](ctx["capacity"] * 4, ctx["ex_cap"] * 4))
+    cap, ecap, ml = ctx["capacity"], ctx["ex_cap"], ctx["max_locate"]
+    for _ in range(3):
+        # lossless retries: frontier/compaction overflow -> 4x capacities;
+        # locate/verify spill (stage_expand or stage_dedup truncated) ->
+        # 4x max_locate. Only auto-sized knobs retry — an explicit
+        # capacity/max_locate is a measurement contract.
+        grow_cap = ctx["auto_capacity"] and int(out["overflow"]) > 0
+        grow_ml = ctx["auto_locate"] and (
+            int(out["total"]) > ml or int(out["n_unique"]) > ml)
+        if not (grow_cap or grow_ml):
+            break
+        if grow_cap:
+            cap, ecap = cap * 4, ecap * 4
+        if grow_ml:
+            ml *= 4
+        out = fetch_tree(ctx["run"](cap, ecap, ml))
     R, m, k, kb = ctx["R"], ctx["m"], ctx["k"], ctx["kb"]
-    max_locate = ctx["max_locate"]
+    max_locate = ml
     # verified windows with no occurrence <= k are the analogue of the
     # reference's aborted in-text verifications (src/indexhelpers.cpp:547-571
     # InTextVerificationTask::doTask finding no cluster center <= maxED)

@@ -78,7 +78,7 @@ class MappingConfig:
     min_identity: int = 95
     switchpoint: int = 4      # in-text crossover (reference -i, default 4)
     capacity: int | None = None
-    max_locate: int = 1 << 16
+    max_locate: int | None = None  # None: scale with batch + spill retry
     kmer_table: object = None  # optional device seed table
     partitioning: str = "uniform"
     arrays: object = None      # host IndexArrays; enables cross-boundary

@@ -36,17 +36,25 @@ CACHE = "/tmp/columba_tpu_bench"
 REF_BIN = "/tmp/colbuild/columba"
 
 CONFIGS = {
-    # id: (mode, metric, scheme, k_or_None, paired, band_expected)
+    # id: (mode, metric, scheme, k_or_None, paired, band_expected[, itv])
+    # On the (random-genome) bench workload every read resolves via
+    # exact-prefix + in-text crossover at the default switchpoint — the
+    # *_band rows disable the crossover (-i 0) so the frontier band phase
+    # demonstrably carries the full load (searches_started > 0).
     "exact_k0":    dict(mode="all", metric="edit", scheme="kuch1", k=0,
                         paired=False, band=False),
     "ham2_pigeon": dict(mode="all", metric="hamming", scheme="pigeon", k=2,
-                        paired=False, band=True),
+                        paired=False, band=False),
+    "ham2_band":   dict(mode="all", metric="hamming", scheme="pigeon", k=2,
+                        paired=False, band=True, itv=0),
     "edit2_all":   dict(mode="all", metric="edit", scheme="kuch1", k=2,
                         paired=False, band=False),
     "edit4_all":   dict(mode="all", metric="edit", scheme="kuch1", k=4,
-                        paired=False, band=True),
+                        paired=False, band=False),
+    "edit4_band":  dict(mode="all", metric="edit", scheme="kuch1", k=4,
+                        paired=False, band=True, itv=0),
     "best_dyn":    dict(mode="best", metric="edit", scheme="columba", k=None,
-                        paired=False, band=True),
+                        paired=False, band=False),
     "pe_best":     dict(mode="best", metric="edit", scheme="kuch1", k=None,
                         paired=True, band=False),
 }
@@ -109,6 +117,8 @@ def run_config(name: str, spec: dict, fq, fq1, fq2, batch: int):
     cmd = ["align", "-r", idx, "-o", out, "-a", spec["mode"],
            "-m", spec["metric"], "-S", spec["scheme"], "-b", str(batch),
            "-v"]
+    if "itv" in spec:
+        cmd += ["-i", str(spec["itv"])]
     if spec["paired"]:
         cmd += ["-f", fq1, "-F", fq2, "--no-inferring", "-O", "fr",
                 "-N", "200", "-X", "500"]
@@ -153,6 +163,8 @@ def run_reference(name: str, spec: dict, fq, fq1, fq2) -> float | None:
     out = os.path.join(wd, f"matrix_{name}.sam")
     cmd = [REF_BIN, "-r", idx, "-o", out, "-a", spec["mode"],
            "-m", spec["metric"], "-t", "1", "-p", "uniform"]
+    if "itv" in spec:
+        cmd += ["-i", str(spec["itv"])]
     if spec["scheme"] != "columba":
         cmd += ["-S", spec["scheme"]]
     if spec["paired"]:
