@@ -168,6 +168,38 @@ def map_batch_best_arr(
     supported = max_supported_k(cfg.scheme_name, m, cfg.metric)
     cutoff = get_max_ed(cfg.min_identity, m, max(supported, 1))
     x = cfg.best_plus_x
+    if cutoff <= 6:
+        # Single-pass BEST: one ALL run at the cutoff, then filter each
+        # read to [best, best+x]. Identical output set to the stratum
+        # ladder (the union of explored strata IS the <= cutoff set), and
+        # on TPU one full-batch pass beats 3-4 compacted ladder rounds —
+        # per-round dispatch/fetch/extract costs dominate while device
+        # cost grows slowly with k (measured: ALL k=4 is only 1.4x ALL
+        # k=2 e2e). The reference's ladder exists because ITS per-read
+        # DFS cost explodes with k (src/searchstrategy.cpp:623-712);
+        # the batched engine's does not. Deep cutoffs (long reads,
+        # k up to 13) keep the ladder: one k=13 pass over every read
+        # would do the explosion the ladder avoids.
+        occs, stats = pipeline.match_all(
+            index, reads, _scheme_for(cfg, cutoff), metric=cfg.metric,
+            capacity=cfg.capacity, max_locate=cfg.max_locate,
+            kmer_table=cfg.kmer_table, partitioning=cfg.partitioning,
+            switchpoint=cfg.switchpoint,
+        )
+        if counters is not None:
+            counters.add_device_stats(stats)
+        if cfg.arrays is not None:
+            kbs = cutoff if cfg.metric == "edit" else 0
+            occs = pipeline.apply_boundary_trim(occs, reads, cfg.arrays,
+                                                kbs, cutoff)
+        if not len(occs):
+            return occs
+        best1 = np.full(R, cutoff + 1, dtype=np.int64)
+        np.minimum.at(best1, occs.read_id, occs.distance)
+        rb = best1[occs.read_id]
+        occs = occs.take(occs.distance <= np.minimum(rb + x, cutoff))
+        o2 = np.lexsort((occs.begin, occs.end, occs.strand, occs.read_id))
+        return occs.take(o2)
     best = np.full(R, cutoff + 1, dtype=np.int64)
     explored = np.full(R, -1, dtype=np.int64)
     parts: list = []

@@ -1,0 +1,153 @@
+"""Weak-scaling harness: per-host throughput at 1 vs 2 hosts.
+
+Methodology artifact for the multi-host story (SURVEY §2.6/§7-step-7):
+runs the SAME per-host workload (fixed reads/host) on a 1-host and a
+2-host jax.distributed setup (local processes, 4 virtual CPU devices per
+host, gloo collectives) and reports reads/s/host plus the weak-scaling
+efficiency (rate_N / rate_1). On virtual CPU devices this measures the
+*orchestration* overhead of the multi-host path — per-step dispatch,
+sharding, psum counter fetch — not chip speed; on a real pod the same
+script (minus the CPU forcing) is the recipe, with ICI replacing gloo.
+
+Timing follows the repo's fencing rule: every timed step's output feeds a
+device-side counter accumulation whose host fetch ends the clock.
+
+Run:  python tools/multihost_scaling.py             (orchestrates)
+      python tools/multihost_scaling.py --hosts N --proc I   (worker)
+
+Output (orchestrator): one JSON line
+  {"reads_per_host": R, "per_host_rate": {"1": r1, "2": r2},
+   "efficiency": r2/r1, "steps": T}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+COORD_PORT = 49741
+DEV_PER_PROC = 4
+READS_PER_HOST = 256
+M = 80
+K = 2
+WARMUP = 2
+STEPS = 8
+
+
+def worker(n_hosts: int, proc_id: int) -> int:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={DEV_PER_PROC}").strip()
+    sys.path.insert(0, REPO)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from columba_tpu.dist import multihost
+
+    multihost.initialize(f"127.0.0.1:{COORD_PORT + n_hosts}", n_hosts,
+                         proc_id, cpu_gloo=True)
+
+    from columba_tpu.core import alphabet
+    from columba_tpu.dist import mesh as dmesh
+    from columba_tpu.index.build import build_index_from_codes
+    from columba_tpu.index.fmindex import FMIndex
+    from columba_tpu.search import pipeline
+    from columba_tpu.search.scheme import get_scheme
+
+    mesh = multihost.global_mesh()
+    rng = np.random.default_rng(777)
+    genome = rng.integers(0, 4, size=200_000).astype(np.uint8)
+    arrays = build_index_from_codes(genome)
+    index = FMIndex.from_arrays(arrays)
+
+    hrng = np.random.default_rng(1000 + proc_id)
+    sched = pipeline.compile_cached(get_scheme("kuch1", K), M, "edit")
+
+    def one_batch(seed_off):
+        srng = np.random.default_rng(seed_off)
+        starts = srng.integers(0, len(genome) - M - 4, size=READS_PER_HOST)
+        fwd = np.stack([genome[s:s + M] for s in starts]).astype(np.int32)
+        rows = np.concatenate(
+            [fwd, np.asarray(alphabet.revcomp(fwd, axis=-1))])
+        reads_g = multihost.shard_batch(mesh, rows)
+        return dmesh.sharded_match(
+            mesh, index, reads_g, sched,
+            capacity_per_shard=2048, max_locate_per_shard=2048, kb=K,
+            globalize=lambda t: multihost.replicate(mesh, t),
+        )
+
+    # warmup (compile both programs + collectives)
+    for w in range(WARMUP):
+        out = one_batch(w)
+        _ = int(np.asarray(out["total"]))  # fence
+
+    t0 = time.time()
+    tot = 0
+    for s in range(STEPS):
+        out = one_batch(100 + s)
+        tot += int(np.asarray(out["total"]))  # per-step fence (streaming
+        # batches arrive from the host anyway; no device-side chain exists
+        # across host-fed batches)
+    dt = time.time() - t0
+    rate = READS_PER_HOST * STEPS / dt
+
+    client = jax._src.distributed.global_state.client
+    client.key_value_set(f"scale{n_hosts}/{proc_id}",
+                         json.dumps(dict(rate=rate, total=tot)))
+    client.wait_at_barrier(f"scale{n_hosts}_done", 120_000)
+    if proc_id == 0:
+        all_s = [json.loads(client.blocking_key_value_get(
+            f"scale{n_hosts}/{p}", 10_000)) for p in range(n_hosts)]
+        # psum'd counters: all hosts must agree on the global totals
+        ok = len({s["total"] for s in all_s}) == 1
+        print(json.dumps(dict(hosts=n_hosts, ok=ok,
+                              per_host_rate=min(s["rate"] for s in all_s))))
+        return 0 if ok else 1
+    return 0
+
+
+def run_config(n_hosts: int) -> float:
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             "--hosts", str(n_hosts), "--proc", str(i)],
+            stdout=(subprocess.PIPE if i == 0 else subprocess.DEVNULL),
+            stderr=subprocess.DEVNULL)
+        for i in range(n_hosts)
+    ]
+    out, _ = procs[0].communicate(timeout=600)
+    for p in procs[1:]:
+        p.wait(timeout=600)
+    line = [ln for ln in out.decode().splitlines() if ln.startswith("{")][-1]
+    res = json.loads(line)
+    assert res["ok"], res
+    return res["per_host_rate"]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hosts", type=int, default=None)
+    ap.add_argument("--proc", type=int, default=None)
+    args = ap.parse_args()
+    if args.proc is not None:
+        return worker(args.hosts, args.proc)
+    r1 = run_config(1)
+    r2 = run_config(2)
+    print(json.dumps(dict(
+        reads_per_host=READS_PER_HOST, steps=STEPS,
+        per_host_rate={"1": round(r1, 1), "2": round(r2, 1)},
+        efficiency=round(r2 / r1, 3))))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
