@@ -564,10 +564,6 @@ def _align_single_fast(args, arrays, index, cfg):
     return 0
 
 
-if __name__ == "__main__":
-    sys.exit(main())
-
-
 def _align_paired(args, arrays, index, cfg, kmer_table):
     import numpy as np
 
@@ -742,10 +738,14 @@ def _align_paired(args, arrays, index, cfg, kmer_table):
 
 
 def _align_blocked(args):
-    """Single-end alignment against a block-partitioned index: every read
-    batch is mapped against each block (index swapped in HBM between
-    blocks), occurrence sets merged on the host, emission against the
-    global sequence view. See index/blocked.py for the merge semantics."""
+    """Single-end alignment against a block-partitioned index: the read
+    stream is mapped once per block (index swapped in HBM between blocks,
+    FASTQ re-parsed per pass so read batches never accumulate in RAM),
+    occurrence sets merged on the host, emission against a lazily-decoded
+    global sequence view. Host memory is bounded by one block's index +
+    one read batch + the total occurrence volume (the output size); the
+    genome text is memory-mapped and decoded per emission window
+    (blocked.LazyBlockText). See index/blocked.py for merge semantics."""
     import numpy as np
 
     from columba_tpu import compile_cache
@@ -770,20 +770,24 @@ def _align_blocked(args):
     meta = blocked.load_blocked_meta(args.index)
     t0 = time.time()
 
-    reader = fastq.parse_reads(args.reads)
-    if args.trim:
-        start, end = (int(x) for x in args.trim.split("-"))
-        reader = fastq.trim_records(reader, start, end)
-    batches = list(fastq.batches_by_length(reader, args.batch_size))
+    def batch_iter():
+        """Fresh pass over the FASTQ; batching is deterministic, so batch
+        bi holds the same reads on every pass."""
+        reader = fastq.parse_reads(args.reads)
+        if args.trim:
+            start, end = (int(x) for x in args.trim.split("-"))
+            reader = fastq.trim_records(reader, start, end)
+        return fastq.batches_by_length(reader, args.batch_size)
+
     ctrs = Counters()
     kb_for = lambda k: k if args.metric == "edit" else 0
     kmer_k = max(0, min(int(args.kmer_size), 13))
     dynamic_selection = (args.scheme == "columba"
                         and not args.no_dynamic_selection)
 
-    per_batch: list[list] = [[] for _ in batches]
-    block_arrays = []
-    for bm, arrays in blocked.iter_blocks(args.index, meta):
+    per_batch: list[list] = []
+    for blk_i, (bm, arrays) in enumerate(blocked.iter_blocks(args.index,
+                                                             meta)):
         index = FMIndex.from_arrays(arrays)
         kmer_table = None
         if not args.no_kmer_table and kmer_k > 0:
@@ -800,7 +804,7 @@ def _align_blocked(args):
             arrays=arrays,
         )
         off = int(bm["text_offset"])
-        for bi, (records, codes) in enumerate(batches):
+        for bi, (records, codes) in enumerate(batch_iter()):
             if args.mode == "all":
                 ctx = strategy.map_batch_all_start(index, codes, cfg)
                 occs, _ = strategy.map_batch_all_finish(
@@ -809,13 +813,15 @@ def _align_blocked(args):
                 occs = strategy.map_batch_best_arr(index, codes, cfg, ctrs)
             occs.begin = occs.begin + off
             occs.end = occs.end + off
-            per_batch[bi].append(occs)
-        block_arrays.append(arrays)
-        del index, kmer_table  # next block evicts this one from HBM
+            if blk_i == 0:
+                per_batch.append([occs])
+            else:
+                per_batch[bi].append(occs)
+        del index, kmer_table, arrays, cfg  # next block evicts from HBM
         logger.verbose_msg(f"block {bm['dir']} mapped "
                            f"({time.time()-t0:.1f}s)")
 
-    view = blocked.make_view(args.index, meta, block_arrays)
+    view = blocked.make_view(args.index, meta)
     rhs_output = args.output.endswith(".rhs")
     n_reads = n_mapped = n_records = 0
     with open(args.output, "w") as out:
@@ -823,7 +829,7 @@ def _align_blocked(args):
             out.write(sam.header(view.seq_names,
                                  list(np.diff(view.seq_starts)),
                                  command_line=" ".join(sys.argv)))
-        for (records, codes), occ_parts in zip(batches, per_batch):
+        for (records, codes), occ_parts in zip(batch_iter(), per_batch):
             m_len = codes.shape[1]
             if args.mode == "best":
                 cutoff = get_max_ed(
@@ -850,13 +856,14 @@ def _align_blocked(args):
                     unmapped_records=not args.no_unmapped,
                     with_cigar=not args.no_cigar, counters=ctrs)
             out.writelines(lines)
+            batch_records = sum(len(mr.occs) for mr in mapped)
             n_reads += len(records)
             n_mapped += sum(1 for mr in mapped if mr.occs)
-            n_records += sum(len(mr.occs) for mr in mapped)
+            n_records += batch_records
             ctrs.number_of_reads += len(records)
             ctrs.mapped_reads += sum(1 for mr in mapped if mr.occs)
-            ctrs.total_unique_matches += n_records
-            ctrs.total_reported_positions += n_records
+            ctrs.total_unique_matches += batch_records
+            ctrs.total_reported_positions += batch_records
     pct = 100.0 * n_mapped / max(n_reads, 1)
     print(
         f"[columba_tpu] done: {n_reads} reads, {pct:.2f}% mapped, "
@@ -866,3 +873,7 @@ def _align_blocked(args):
     )
     ctrs.report(logger, paired=False)
     return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -41,8 +41,9 @@ class Counters:
         self.search_started += stats.get("searches_started", 0)
         self.aborted_in_text += stats.get("aborted_in_text", 0)
         if stats.get("locate_truncated"):
-            # only reachable with an explicit (non-auto) max_locate: the
-            # auto-sized path retries losslessly in match_all_finish
+            # reachable with an explicit (non-auto) max_locate, or when the
+            # auto-sized path exhausts its 3 lossless growth retries in
+            # match_all_finish/match_all_start and still overflows
             from columba_tpu.logger import logger
 
             logger.warning(

@@ -72,9 +72,25 @@ def build_blocked_index(
     """FASTA file(s) -> blocked index directory; returns the top meta."""
     if isinstance(fasta_paths, str):
         fasta_paths = [fasta_paths]
-    max_block_bp = min(int(max_block_bp), ibuild.MAX_N)
     codes, names, starts = ibuild.preprocess_fasta(
         fasta_paths, seed=seed, seed_length=seed_length)
+    return build_blocked_from_codes(
+        codes, names, starts, out_dir, max_block_bp=max_block_bp,
+        sa_sparseness=sa_sparseness, sa_method=sa_method)
+
+
+def build_blocked_from_codes(
+    codes: np.ndarray,
+    names: list[str],
+    starts: np.ndarray,
+    out_dir: str,
+    max_block_bp: int = ibuild.MAX_N,
+    sa_sparseness: int = 4,
+    sa_method: str = "auto",
+) -> dict:
+    """Preprocessed codes -> blocked index directory (see module doc)."""
+    max_block_bp = min(int(max_block_bp), ibuild.MAX_N)
+    starts = np.asarray(starts)
     blocks = partition_sequences(starts, max_block_bp)
     os.makedirs(out_dir, exist_ok=True)
     block_meta = []
@@ -109,16 +125,60 @@ def build_blocked_index(
     return meta
 
 
+class LazyBlockText:
+    """Sliceable global-genome facade over per-block 2-bit packed text.
+
+    Memory-maps each block's ``text.npy`` (so the OS pages in only the
+    windows touched) and decodes the requested window on demand. Emission
+    windows are clamped to one sequence and sequences never cross blocks
+    (partition_sequences), so every slice hits exactly one block. This is
+    what lets blocked alignment run on genomes whose decoded text would
+    not fit in host RAM (the >4.29 Gbp regime the reference reaches via
+    64-bit words + Big-BWT, src/definitions.h:69-75)."""
+
+    def __init__(self, index_dir: str, meta: dict):
+        self.offsets = np.array(
+            [bm["text_offset"] for bm in meta["blocks"]], dtype=np.int64)
+        self.ns = np.array([bm["n"] for bm in meta["blocks"]],
+                           dtype=np.int64)
+        self.words = [
+            np.load(os.path.join(index_dir, bm["dir"], "text.npy"),
+                    mmap_mode="r")
+            for bm in meta["blocks"]
+        ]
+        self.n = int(meta["n"])
+
+    def __len__(self) -> int:
+        return self.n
+
+    def __getitem__(self, key):
+        if not isinstance(key, slice):
+            return self[key:key + 1][0]
+        lo = 0 if key.start is None else int(key.start)
+        hi = self.n if key.stop is None else int(key.stop)
+        lo, hi = max(lo, 0), min(hi, self.n)
+        if hi <= lo:
+            return np.empty(0, dtype=np.uint8)
+        bi = int(np.searchsorted(self.offsets, lo, side="right") - 1)
+        off = int(self.offsets[bi])
+        if hi - off > int(self.ns[bi]):
+            raise IndexError(
+                f"window [{lo},{hi}) crosses block boundary at "
+                f"{off + int(self.ns[bi])}")
+        return ibuild.unpack_window(self.words[bi], lo - off, hi - off)
+
+
 @dataclass
 class BlockedView:
     """Global genome view for host emission over a blocked index: the
-    fields emit_sam/emit_rhs touch (decoded text, seq starts/names), with
-    per-block packed text decoded once into one concatenated array."""
+    fields emit_sam/emit_rhs touch (decoded text, seq starts/names).
+    ``_decoded_text`` is a LazyBlockText so decoded_text(view) in
+    strategy.emit_sam never materialises the whole genome."""
 
     meta: dict
     seq_starts: np.ndarray            # (num_seqs+1,) int64 global offsets
     seq_names: list[str] = field(default_factory=list)
-    _decoded_text: np.ndarray | None = None
+    _decoded_text: "LazyBlockText | np.ndarray | None" = None
 
     @property
     def n(self) -> int:
@@ -141,26 +201,27 @@ def iter_blocks(index_dir: str, meta: dict):
         yield bm, ibuild.load_index(os.path.join(index_dir, bm["dir"]))
 
 
-def make_view(index_dir: str, meta: dict,
-              block_arrays: list | None = None) -> BlockedView:
-    """Assemble the global emission view. block_arrays, if given, must be
-    the blocks in order (lets the align loop reuse loaded arrays)."""
+def make_view(index_dir: str, meta: dict) -> BlockedView:
+    """Assemble the global emission view WITHOUT loading any block's index
+    arrays: sequence names/starts come from each block's small meta.json +
+    seq_starts.npy, and the genome text is a lazily-decoded memory map."""
     names: list[str] = []
     starts = [0]
-    texts = []
-    for bi, bm in enumerate(meta["blocks"]):
-        arrays = (block_arrays[bi] if block_arrays is not None
-                  else ibuild.load_index(os.path.join(index_dir, bm["dir"])))
-        names.extend(arrays.seq_names)
+    for bm in meta["blocks"]:
+        bdir = os.path.join(index_dir, bm["dir"])
+        with open(os.path.join(bdir, "meta.json")) as f:
+            bmeta = json.load(f)
+        names.extend(bmeta["seq_names"])
+        seq_starts = np.load(os.path.join(bdir, "seq_starts.npy"))
         off = bm["text_offset"]
-        starts.extend((np.asarray(arrays.seq_starts[1:]) + off).tolist())
-        texts.append(ibuild.decoded_text(arrays))
+        starts.extend((np.asarray(seq_starts[1:], dtype=np.int64)
+                       + off).tolist())
     view = BlockedView(
         meta=meta,
         seq_starts=np.asarray(starts, dtype=np.int64),
         seq_names=names,
     )
-    view._decoded_text = np.concatenate(texts)
+    view._decoded_text = LazyBlockText(index_dir, meta)
     return view
 
 

@@ -304,15 +304,31 @@ def build_index_from_codes(
     # The two directions are independent; the native SA-IS releases the GIL
     # (ctypes) and the numpy passes mostly do too, so two threads overlap the
     # dominant cost (the reference instead runs them sequentially,
-    # src/buildindex.cpp:1964-1996).
-    from concurrent.futures import ThreadPoolExecutor
+    # src/buildindex.cpp:1964-1996). Each direction peaks at roughly 12
+    # bytes/bp (SA + native text copy + bucket/temp buffers), so overlap
+    # doubles that; fall back to sequential when 2x would not fit in free
+    # host RAM (the 4.29 Gbp ceiling regime).
+    overlap = True
+    try:
+        with open("/proc/meminfo") as mf:
+            avail_kb = next(int(line.split()[1]) for line in mf
+                            if line.startswith("MemAvailable"))
+        overlap = 2 * 12 * n < avail_kb * 1024 * 0.9
+    except Exception:
+        overlap = n < 2_000_000_000
+    if overlap:
+        from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(2) as pool:
-        fut_fwd = pool.submit(build_fwd)
-        fut_rev = pool.submit(build_rev)
+        with ThreadPoolExecutor(2) as pool:
+            fut_fwd = pool.submit(build_fwd)
+            fut_rev = pool.submit(build_rev)
+            bwt_codes, dollar_fwd, occ, sa_samples, sa_bits, sa_bits_rank = \
+                fut_fwd.result()
+            rbwt_codes, dollar_rev, rocc = fut_rev.result()
+    else:
         bwt_codes, dollar_fwd, occ, sa_samples, sa_bits, sa_bits_rank = \
-            fut_fwd.result()
-        rbwt_codes, dollar_rev, rocc = fut_rev.result()
+            build_fwd()
+        rbwt_codes, dollar_rev, rocc = build_rev()
 
     char_counts = np.bincount(codes, minlength=4).astype(np.int64)
     counts = np.zeros(4, dtype=np.int64)

@@ -25,6 +25,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <new>
 #include <vector>
 
 #if defined(__linux__)
@@ -62,6 +63,7 @@ struct HugeBuf {
     size_t n = 0;
     explicit HugeBuf(size_t count, bool zero = false) : n(count) {
         p = (T*)malloc(sizeof(T) * (count ? count : 1));
+        if (!p) throw std::bad_alloc();  // caught at the extern "C" boundary
         advise_huge(p, sizeof(T) * count);
         if (zero) std::memset(p, 0, sizeof(T) * count);
     }
@@ -266,23 +268,31 @@ int sais_u8_u32(const uint8_t* text, int64_t n, uint32_t* sa) {
     if (n < 0 || n >= (int64_t)0xFFFFFFFFll ||
         (n > 0 && (text == nullptr || sa == nullptr)))
         return -1;
-    advise_huge(sa, (size_t)n * 4);
-    TextCopy tc(text, n);
-    sais<uint8_t, uint32_t>(tc.p, n, 256, sa);
+    try {
+        advise_huge(sa, (size_t)n * 4);
+        TextCopy tc(text, n);
+        sais<uint8_t, uint32_t>(tc.p, n, 256, sa);
+    } catch (const std::bad_alloc&) {
+        return -2;  // Python falls back (suffix.py treats rc != 0 as miss)
+    }
     return 0;
 }
 
 int sais_u8(const uint8_t* text, int64_t n, int64_t* sa) {
     if (n < 0 || (n > 0 && (text == nullptr || sa == nullptr))) return -1;
-    TextCopy tc(text, n);
-    if (n < (int64_t)0xFFFFFFFFll) {
-        // 32-bit kernel (half the induce-pass memory traffic), widen once.
-        HugeBuf<uint32_t> tmp((size_t)n);
-        sais<uint8_t, uint32_t>(tc.p, n, 256, tmp.data());
-        for (int64_t i = 0; i < n; ++i) sa[i] = (int64_t)tmp[(size_t)i];
-    } else {
-        advise_huge(sa, (size_t)n * 8);
-        sais<uint8_t, int64_t>(tc.p, n, 256, sa);
+    try {
+        TextCopy tc(text, n);
+        if (n < (int64_t)0xFFFFFFFFll) {
+            // 32-bit kernel (half the induce-pass memory traffic), widen once.
+            HugeBuf<uint32_t> tmp((size_t)n);
+            sais<uint8_t, uint32_t>(tc.p, n, 256, tmp.data());
+            for (int64_t i = 0; i < n; ++i) sa[i] = (int64_t)tmp[(size_t)i];
+        } else {
+            advise_huge(sa, (size_t)n * 8);
+            sais<uint8_t, int64_t>(tc.p, n, 256, sa);
+        }
+    } catch (const std::bad_alloc&) {
+        return -2;
     }
     return 0;
 }

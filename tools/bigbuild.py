@@ -10,6 +10,9 @@ known sampled positions.
 Usage:
   python tools/bigbuild.py [--gbp 3.1] [--reads 2000] [--cache /tmp/bigidx]
   python tools/bigbuild.py --gbp 0.3   # quick smoke (below the ceiling)
+  python tools/bigbuild.py --gbp 6.0 --blocks   # PAST the 4.29 Gbp uint32
+      # ceiling: block-partitioned index (index/blocked.py), aligned
+      # through the streamed blocked CLI path, recall vs sampled truth
 
 The genome and index persist under --cache; a second run skips the build
 and only measures alignment. Results are appended to the stdout summary for
@@ -53,7 +56,14 @@ def main():
     ap.add_argument("--cache", default="/tmp/bigidx")
     ap.add_argument("--sa-sparseness", type=int, default=16)
     ap.add_argument("--skip-align", action="store_true")
+    ap.add_argument("--blocks", action="store_true",
+                    help="block-partitioned index: the path PAST the 4.29 "
+                         "Gbp uint32 ceiling (use with --gbp > 4.3)")
+    ap.add_argument("--block-bp", type=int, default=None,
+                    help="max bp per block (default: the uint32 MAX_N)")
     args = ap.parse_args()
+    if args.blocks:
+        return main_blocks(args)
 
     from columba_tpu.index.build import (
         build_index_from_codes, load_index, save_index,
@@ -149,6 +159,115 @@ def main():
     }))
     assert recall >= 0.99, f"recall {recall} too low — uint32 path broken?"
     print("[bigbuild] PASS", file=sys.stderr)
+
+
+def main_blocks(args):
+    """Build + align past the 4.29 Gbp single-index ceiling: blocked index
+    (index/blocked.py) + the streamed blocked CLI align path, recall checked
+    against sampled truth. This is the at-scale run tests/test_blocked.py
+    exercises at small scale (reference: 64-bit + Big-BWT regime,
+    src/definitions.h:69-75, src/bmove/columba_build_pfp.sh)."""
+    from columba_tpu.index import blocked
+    from columba_tpu.index.build import MAX_N, unpack_window
+
+    n_total = int(args.gbp * 1e9)
+    os.makedirs(args.cache, exist_ok=True)
+    idx_dir = os.path.join(args.cache, f"blk_{n_total}")
+    build_s = None
+    if not os.path.exists(os.path.join(idx_dir, "meta.json")):
+        print(f"[bigbuild] generating {n_total / 1e9:.2f} Gbp genome",
+              file=sys.stderr)
+        codes, names, starts = synth_genome(n_total)
+        t1 = time.time()
+        block_bp = args.block_bp or MAX_N
+        print(f"[bigbuild] building blocked index (n={n_total}, "
+              f"block_bp={block_bp}, s={args.sa_sparseness})",
+              file=sys.stderr)
+        meta = blocked.build_blocked_from_codes(
+            codes, names, starts, idx_dir, max_block_bp=block_bp,
+            sa_sparseness=args.sa_sparseness)
+        build_s = time.time() - t1
+        print(f"[bigbuild] blocked index built in {build_s:.0f}s "
+              f"({n_total / build_s / 1e6:.1f} Mbp/s), "
+              f"{len(meta['blocks'])} blocks", file=sys.stderr)
+        del codes
+    meta = blocked.load_blocked_meta(idx_dir)
+    assert meta["n"] == n_total, (meta["n"], n_total)
+    past_ceiling = n_total > MAX_N
+    print(f"[bigbuild] n={n_total} "
+          f"({'PAST' if past_ceiling else 'below'} the 4.29 Gbp ceiling), "
+          f"{len(meta['blocks'])} blocks", file=sys.stderr)
+    if args.skip_align:
+        return
+
+    # sample reads with truth from the memory-mapped packed block text
+    rng = np.random.default_rng(7)
+    m = args.read_len
+    R = args.reads
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    text = blocked.LazyBlockText(idx_dir, meta)
+    starts_pos = rng.integers(0, n_total - m - 8, size=R)
+    bad = (starts_pos % CHROMO) > (CHROMO - m - 8)
+    starts_pos[bad] -= m + 8
+    from columba_tpu.core import alphabet
+
+    fq = os.path.join(args.cache, f"blk_{n_total}_reads.fq")
+    truth = []
+    with open(fq, "w") as f:
+        for i, s in enumerate(starts_pos):
+            seq = np.array(text[int(s):int(s) + m])
+            nerr = int(rng.poisson(0.01 * m))
+            for _ in range(min(nerr, args.k)):
+                j = int(rng.integers(0, m))
+                seq[j] = (seq[j] + 1 + rng.integers(0, 3)) % 4
+            if rng.random() < 0.5:
+                seq = np.asarray(alphabet.revcomp(seq))
+            f.write(f"@r{i}\n{lut[seq].tobytes().decode()}\n+\n{'I' * m}\n")
+            truth.append(int(s))
+
+    from columba_tpu import cli
+
+    out = os.path.join(args.cache, f"blk_{n_total}_out.sam")
+    t3 = time.time()
+    rc = cli.main(["align", "-r", idx_dir, "-f", fq, "-o", out,
+                   "-e", str(args.k), "-a", "all", "-m", "edit",
+                   "-S", "kuch1", "-b", "4096", "-v"])
+    dt = time.time() - t3
+    assert rc == 0
+
+    # recall: primary/secondary position within k of the sampled origin
+    import re
+
+    seq_off = {}  # seq name -> global offset
+    from columba_tpu.index.blocked import make_view
+
+    view = make_view(idx_dir, meta)
+    for name, off in zip(view.seq_names, view.seq_starts[:-1]):
+        seq_off[name] = int(off)
+    found = np.zeros(R, dtype=bool)
+    for line in open(out):
+        if line.startswith("@"):
+            continue
+        fld = line.split("\t")
+        if fld[2] == "*":
+            continue
+        ri = int(fld[0][1:])
+        gpos = seq_off[fld[2]] + int(fld[3]) - 1
+        if abs(gpos - truth[ri]) <= args.k:
+            found[ri] = True
+    recall = found.mean()
+    res = {
+        "n": n_total, "blocks": len(meta["blocks"]),
+        "past_uint32_ceiling": bool(past_ceiling),
+        "reads": R, "k": args.k, "recall_at_truth": float(recall),
+        "align_secs": round(dt, 1),
+        "align_reads_per_sec": round(R / dt, 1),
+    }
+    if build_s is not None:
+        res["build_secs"] = round(build_s, 1)
+    print(json.dumps(res))
+    assert recall >= 0.99, f"recall {recall} too low — blocked path broken?"
+    print("[bigbuild] PASS (blocked)", file=sys.stderr)
 
 
 if __name__ == "__main__":
