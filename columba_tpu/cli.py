@@ -41,6 +41,15 @@ def main(argv=None):
     b.add_argument("--write-preprocessed", action="store_true")
     b.add_argument("--rlc", action="store_true",
                    help="build the run-length-compressed (b-move) flavor")
+    b.add_argument("--textless", action="store_true",
+                   help="with --rlc: drop the packed text and strided SA "
+                        "samples so index bytes scale with the BWT run "
+                        "count r, not the text length n — the defining "
+                        "b-move property (reference: src/bmove/"
+                        "bmove.cpp:45-189, textless locate via toehold "
+                        "samples + phi, plcp.h:59-130). Alignment then "
+                        "reports positions without CIGARs (no in-text "
+                        "verification), forces -i 0, and needs k >= 1.")
     b.add_argument("-B", "--max-block-bp", type=int, default=None,
                    help="build a block-partitioned index with blocks of "
                         "whole sequences up to this many bp — the path past "
@@ -164,9 +173,13 @@ def cmd_build(args):
     if args.rlc:
         from columba_tpu.index.bmove import build_bmove
 
-        arrays = build_bmove(fastas, out_dir=args.index, seed=args.seed)
+        arrays = build_bmove(fastas, out_dir=args.index, seed=args.seed,
+                             textless=args.textless)
         extra = (f" runs={arrays.meta['runs_fwd']}"
-                 f" (r/n={arrays.meta['runs_fwd']/max(arrays.n,1):.3f})")
+                 f" (r/n={arrays.meta['runs_fwd']/max(arrays.n,1):.3f})"
+                 + (" textless" if args.textless else ""))
+    elif args.textless:
+        raise SystemExit("build: --textless requires --rlc")
     else:
         from columba_tpu.index.build import build_index
 
@@ -251,6 +264,20 @@ def cmd_align(args):
     # off for RLC (-aC enables) — src/parameters/alignparameters.cpp:131-160
     args.with_cigar = ((not args.no_cigar) if not rlc
                        else args.activate_cigar)
+    textless = rlc and getattr(arrays, "textless", False)
+    if textless:
+        if args.activate_cigar:
+            raise SystemExit(
+                "align: -aC needs the genome text; this RLC index was "
+                "built --textless")
+        if args.reads2 is not None:
+            raise SystemExit(
+                "align: paired-end needs in-text windows; use a with-text "
+                "RLC or Vanilla index (textless index given)")
+        if args.in_text:
+            logger.verbose_msg("textless index: in-text verification "
+                               "disabled (-i 0)")
+            args.in_text = 0
     # scheme source precedence mirrors Parameters::createStrategy
     # (src/parameters/alignparameters.cpp:1313-1345): -d > -c > -S
     dynamic_selection = (args.scheme == "columba"
@@ -289,7 +316,7 @@ def cmd_align(args):
         return _align_paired(args, arrays, index, cfg, kmer_table)
 
     rhs_output = args.output.endswith(".rhs")
-    if not rhs_output and args.trim is None:
+    if not rhs_output and args.trim is None and not textless:
         from columba_tpu.io import emit
 
         if (emit.available() and fastq.native_reader_available()
@@ -343,6 +370,15 @@ def cmd_align(args):
                     from columba_tpu.search.strategy import emit_rhs
 
                     lines = emit_rhs(records, mapped, arrays)
+                elif textless:
+                    from columba_tpu.search.strategy import (
+                        emit_sam_textless,
+                    )
+
+                    lines = emit_sam_textless(
+                        records, mapped, arrays,
+                        unmapped_records=not args.no_unmapped,
+                        counters=ctrs)
                 else:
                     lines = emit_sam(
                         records, mapped, arrays, index, kb, mode=args.mode,
@@ -488,7 +524,8 @@ def _align_single_fast(args, arrays, index, cfg):
                     occs, _ = strategy.map_batch_all_finish(
                         payload, index, batch.codes, cfg, counters=ctrs)
                 else:
-                    occs = payload
+                    occs = strategy.map_batch_best_finish(
+                        payload, index, batch.codes, cfg, counters=ctrs)
                 tmsg(f"emitter: finished fetch ({len(occs)} occs)")
                 nv = batch.n_valid
                 if nv < batch.codes.shape[0]:
@@ -538,8 +575,9 @@ def _align_single_fast(args, arrays, index, cfg):
                 tmsg("main: dispatched")
                 k = cfg.max_distance
             else:
-                payload = strategy.map_batch_best_arr(index, batch.codes,
-                                                      cfg, counters=ctrs)
+                payload = strategy.map_batch_best_start(
+                    index, batch.codes, cfg, counters=ctrs)
+                tmsg("main: dispatched")
                 k = strategy.get_max_ed(
                     args.min_identity, m_len,
                     max(strategy.max_supported_k(args.scheme, m_len,
@@ -648,13 +686,21 @@ def _align_paired(args, arrays, index, cfg, kmer_table):
     done = 0
 
     def map_chunk(recs1, recs2):
-        """Map one chunk; returns (mapped_all, kb_of) for its emission."""
+        """Map one chunk; returns (mapped_all, kb_of) for its emission.
+
+        Two-phase: every sub-batch's device passes (both sides) are
+        DISPATCHED first (async), then finished in order — batch i's
+        fetch + array pairing overlaps batch i+1's device work (the PE
+        analogue of the SE pipeline; reference overlaps via its worker
+        pool, src/parallel.cpp:1198-1229). The deep-cutoff ladder path is
+        inherently synchronous and runs inside start."""
         nonlocal done
         groups: dict = {}
         for i, (r1, r2) in enumerate(zip(recs1, recs2)):
             groups.setdefault((len(r1.codes), len(r2.codes)), []).append(i)
         mapped_all: list = [None] * len(recs1)
         kb_of: dict = {}
+        launches = []
         for key, idxs in groups.items():
             m1, _m2 = key
             k = group_k(m1)
@@ -663,34 +709,42 @@ def _align_paired(args, arrays, index, cfg, kmer_table):
             g2 = np.stack([recs2[i].codes for i in idxs])
             for off in range(0, len(idxs), B):
                 if args.mode == "best":
-                    # stratified PE BEST: per-stratum total-distance loop
-                    # with best-stratum early exit and best(+x)-only
-                    # emission (reference: src/searchstrategy.cpp:1091-1179)
-                    mapped = paired.map_pairs_best(
+                    # single-pass PE BEST: both sides at full cutoff,
+                    # array window-join pairing, [best, best+x] filter
+                    # (reference: src/searchstrategy.cpp:1091-1179)
+                    h = paired.map_pairs_best_start(
                         index, g1[off:off + B], g2[off:off + B],
                         cfg, pcfg, arrays.seq_starts, kmer_table,
                         counters=ctrs)
                 else:
-                    mapped = paired.map_pairs_all(
+                    h = paired.map_pairs_all_start(
                         index, g1[off:off + B], g2[off:off + B],
-                        cfg.scheme_name, k, cfg.metric, pcfg,
-                        arrays.seq_starts, kmer_table, arrays=arrays)
-                for j, mp in zip(idxs[off:off + B], mapped):
-                    mapped_all[j] = mp
-                    ctrs.number_of_reads += 2
-                    ctrs.total_unique_pairs += len(mp.pairs)
-                    if mp.pairs:
-                        ctrs.mapped_pairs += 1
-                    elif mp.discordant:
-                        ctrs.discordantly_mapped_pairs += 1
-                    elif mp.unpaired1 and mp.unpaired2:
-                        ctrs.unpaired_but_mapped_pairs += 1
-                    elif mp.unpaired1 or mp.unpaired2:
-                        ctrs.mapped_half_pairs += 1
-                done += min(len(idxs) - off, B)
-                rate = done / max(_time.time() - t0, 1e-9)
-                print(f"[columba_tpu] {done} pairs ({rate:,.0f} pairs/s)",
-                      file=_sys.stderr)
+                        cfg.scheme_name, k, cfg.metric, kmer_table)
+                launches.append((key, idxs, off, h))
+        for key, idxs, off, h in launches:
+            if args.mode == "best":
+                mapped = paired.map_pairs_best_finish(
+                    h, cfg, pcfg, arrays.seq_starts, counters=ctrs)
+            else:
+                mapped = paired.map_pairs_all_finish(
+                    h, pcfg, arrays.seq_starts, arrays=arrays,
+                    counters=ctrs)
+            for j, mp in zip(idxs[off:off + B], mapped):
+                mapped_all[j] = mp
+                ctrs.number_of_reads += 2
+                ctrs.total_unique_pairs += len(mp.pairs)
+                if mp.pairs:
+                    ctrs.mapped_pairs += 1
+                elif mp.discordant:
+                    ctrs.discordantly_mapped_pairs += 1
+                elif mp.unpaired1 and mp.unpaired2:
+                    ctrs.unpaired_but_mapped_pairs += 1
+                elif mp.unpaired1 or mp.unpaired2:
+                    ctrs.mapped_half_pairs += 1
+            done += min(len(idxs) - off, B)
+            rate = done / max(_time.time() - t0, 1e-9)
+            print(f"[columba_tpu] {done} pairs ({rate:,.0f} pairs/s)",
+                  file=_sys.stderr)
         return mapped_all, kb_of
 
     # writer thread: emission (traceback DP + SAM) of chunk i overlaps the

@@ -68,8 +68,28 @@ NCOLS = 20
 LOCATE_STRIDE = 64
 
 
+def _phi_tables(sa_full: np.ndarray, bounds: np.ndarray):
+    """Piecewise phi / phi-inverse over run-boundary samples.
+
+    phi(SA[i]) = SA[i-1] and phinv(SA[i]) = SA[i+1] are piecewise-linear
+    with one piece per BWT run (the r-index property the reference's
+    locate rests on, src/bmove/plcp.h:59-130): for each run-first row b,
+    the piece [x, ...) with x = SA[b], y = SA[b-1] translates by (y - x).
+    Returns (phi_x sorted, phi_y, phinv_x sorted, phinv_y), all uint32.
+    Verified exactly against brute-force SA adjacency (test_bmove)."""
+    x = sa_full[bounds]
+    y = sa_full[bounds - 1]
+    o = np.argsort(x)
+    xi = sa_full[bounds - 1]
+    yi = sa_full[bounds]
+    oi = np.argsort(xi)
+    return (x[o].astype(np.uint32), y[o].astype(np.uint32),
+            xi[oi].astype(np.uint32), yi[oi].astype(np.uint32))
+
+
 def _runs_of_direction(codes: np.ndarray, sa_method: str,
-                       want_stride: bool = False):
+                       want_stride: bool = False,
+                       want_phi: bool = False):
     """Move-table arrays for one direction. codes: clean 0..3 text."""
     n = len(codes)
     big = n + 1
@@ -139,25 +159,38 @@ def _runs_of_direction(codes: np.ndarray, sa_method: str,
         rchar[R - 1] == np.arange(4), ends[R - 1] - starts[R - 1], 0)
     sa_stride = (sa_full[::LOCATE_STRIDE].astype(np.uint32)
                  if want_stride else None)
-    return fused, first.astype(np.uint32), R, sa_stride
+    phi = _phi_tables(sa_full, bounds) if want_phi else None
+    return fused, first.astype(np.uint32), R, sa_stride, phi
 
 
 @dataclass(frozen=True)
 class BMoveArrays:
-    """Host-side persisted arrays of one RLC index."""
+    """Host-side persisted arrays of one RLC index.
+
+    Textless flavor (meta["textless"]): ``text`` and ``sa_stride`` are
+    empty — index bytes scale with the RUN count r, not the text length n
+    (the property that defines b-move, src/bmove/bmove.cpp:45-189).
+    Locate then uses search-time toehold samples + the phi tables."""
 
     meta: dict
     fused_fwd: np.ndarray   # (R_f + 1, NCOLS) uint32
     fused_rev: np.ndarray   # (R_r + 1, NCOLS) uint32
     first_row: np.ndarray   # (5,) uint32: first F row per '$ACGT' char
-    text: np.ndarray        # packed uint32 (2-bit), for verification
-    sa_stride: np.ndarray   # uint32 SA at every LOCATE_STRIDE-th fwd row
+    text: np.ndarray        # packed uint32 (2-bit); EMPTY when textless
+    sa_stride: np.ndarray   # uint32 strided SA; EMPTY when textless
     seq_starts: np.ndarray
     seq_names: list
+    # phi / phi-inverse piece tables (textless locate); empty otherwise
+    phi_fwd: np.ndarray = None     # (P_f, 4): x_sorted, y, xinv, yinv
+    phi_rev: np.ndarray = None
 
     @property
     def n(self) -> int:
         return self.meta["n"]
+
+    @property
+    def textless(self) -> bool:
+        return bool(self.meta.get("textless", False))
 
 
 def build_bmove_from_codes(
@@ -165,6 +198,7 @@ def build_bmove_from_codes(
     seq_names=None,
     seq_starts=None,
     sa_method: str = "auto",
+    textless: bool = False,
 ) -> BMoveArrays:
     codes = np.ascontiguousarray(codes, dtype=np.uint8)
     if codes.max(initial=0) > 3:
@@ -175,38 +209,48 @@ def build_bmove_from_codes(
     if n > MAX_N:
         raise ValueError(
             f"text length {n} exceeds the uint32 index ceiling {MAX_N}")
-    fused_fwd, first, r_f, sa_stride = _runs_of_direction(
-        codes, sa_method, want_stride=True)
-    fused_rev, _, r_r, _ = _runs_of_direction(codes[::-1].copy(), sa_method)
+    fused_fwd, first, r_f, sa_stride, phi_f = _runs_of_direction(
+        codes, sa_method, want_stride=not textless, want_phi=textless)
+    fused_rev, _, r_r, _, phi_r = _runs_of_direction(
+        codes[::-1].copy(), sa_method, want_phi=textless)
     if seq_names is None:
         seq_names = ["seq0"]
         seq_starts = np.array([0, n], dtype=np.int64)
     meta = dict(
         format_version=INDEX_FORMAT_VERSION, flavor="rlc", n=n,
         runs_fwd=r_f, runs_rev=r_r, num_seqs=len(seq_names),
-        locate_stride=LOCATE_STRIDE,
+        locate_stride=LOCATE_STRIDE, textless=bool(textless),
     )
+    e32 = np.zeros(0, dtype=np.uint32)
     return BMoveArrays(
         meta=meta, fused_fwd=fused_fwd, fused_rev=fused_rev,
-        first_row=first, text=pack_2bit(codes), sa_stride=sa_stride,
+        first_row=first,
+        text=e32 if textless else pack_2bit(codes),
+        sa_stride=e32 if textless else sa_stride,
+        phi_fwd=(np.stack(phi_f, axis=1) if textless
+                 else np.zeros((0, 4), np.uint32)),
+        phi_rev=(np.stack(phi_r, axis=1) if textless
+                 else np.zeros((0, 4), np.uint32)),
         seq_starts=np.asarray(seq_starts, dtype=np.int64),
         seq_names=list(seq_names),
     )
 
 
-def build_bmove(fasta_paths, out_dir=None, seed=42, sa_method="auto"):
+def build_bmove(fasta_paths, out_dir=None, seed=42, sa_method="auto",
+                textless: bool = False):
     """FASTA file(s) -> RLC index arrays (optionally persisted)."""
     if isinstance(fasta_paths, str):
         fasta_paths = [fasta_paths]
     codes, names, starts = preprocess_fasta(fasta_paths, seed=seed)
-    idx = build_bmove_from_codes(codes, names, starts, sa_method=sa_method)
+    idx = build_bmove_from_codes(codes, names, starts, sa_method=sa_method,
+                                 textless=textless)
     if out_dir is not None:
         save_bmove(idx, out_dir)
     return idx
 
 
 _BM_FIELDS = ["fused_fwd", "fused_rev", "first_row", "text", "sa_stride",
-              "seq_starts"]
+              "seq_starts", "phi_fwd", "phi_rev"]
 
 
 def save_bmove(idx: BMoveArrays, out_dir: str) -> None:
@@ -227,13 +271,19 @@ def load_bmove(out_dir: str) -> BMoveArrays:
     if meta.get("format_version") != INDEX_FORMAT_VERSION:
         raise ValueError("index format mismatch; rebuild")
     seq_names = meta.pop("seq_names")
-    try:
-        arrs = {name: np.load(os.path.join(out_dir, name + ".npy"))
-                for name in _BM_FIELDS}
-    except FileNotFoundError as e:
-        raise ValueError(
-            f"RLC index at {out_dir} is missing {e.filename} "
-            "(built by an older version?); rebuild it") from e
+    arrs = {}
+    for name in _BM_FIELDS:
+        path = os.path.join(out_dir, name + ".npy")
+        if name in ("phi_fwd", "phi_rev") and not os.path.exists(path):
+            # pre-textless index layout: no phi tables persisted
+            arrs[name] = np.zeros((0, 4), np.uint32)
+            continue
+        try:
+            arrs[name] = np.load(path)
+        except FileNotFoundError as e:
+            raise ValueError(
+                f"RLC index at {out_dir} is missing {e.filename} "
+                "(built by an older version?); rebuild it") from e
     return BMoveArrays(meta=meta, seq_names=seq_names, **arrs)
 
 
@@ -256,12 +306,18 @@ class BMoveIndex:
     r_fwd: int = 0        # fwd intervals (rev table rows offset by r_fwd+1)
     r_rev: int = 0
     stride: int = LOCATE_STRIDE
+    # textless flavor: lanes carry toehold samples (range_width 12); the
+    # init sample is the full range's last row (reference
+    # getInitialToehold, src/bmove/bmove.h:136-142)
+    textless: bool = False
+    toe_init: int = 0     # SA_fwd[n] = SA of the full fwd range's last row
 
     @staticmethod
     def from_arrays(arrays: BMoveArrays) -> "BMoveIndex":
         n = arrays.n
         text = np.concatenate([arrays.text, np.zeros(16, dtype=np.uint32)])
         fused = np.concatenate([arrays.fused_fwd, arrays.fused_rev])
+        r_f = arrays.meta["runs_fwd"]
         return BMoveIndex(
             fused=jnp.asarray(np.asarray(fused, dtype=np.uint32)),
             first_row=jnp.asarray(
@@ -271,9 +327,11 @@ class BMoveIndex:
                 np.asarray(arrays.sa_stride, dtype=np.uint32)),
             n_arr=jnp.asarray(np.asarray([n, n + 1], dtype=np.uint32)),
             n=n,
-            r_fwd=arrays.meta["runs_fwd"],
+            r_fwd=r_f,
             r_rev=arrays.meta["runs_rev"],
             stride=arrays.meta.get("locate_stride", LOCATE_STRIDE),
+            textless=arrays.textless,
+            toe_init=int(arrays.fused_fwd[r_f - 1, SA_LAST]),
         )
 
     @property
@@ -282,19 +340,22 @@ class BMoveIndex:
 
     @property
     def range_width(self) -> int:
-        return 8
+        # textless lanes append [toe_value, toe_offset, toe_flags, pad]
+        return 12 if self.textless else 8
 
     def full_range(self, batch_shape=()) -> jax.Array:
-        """Whole-index range pair + run hints."""
+        """Whole-index range pair + run hints (+ toehold when textless)."""
         big = self.n + 1
-        r = jnp.array(
-            [0, big, 0, big, 0, self.r_fwd - 1, 0, self.r_rev - 1],
-            dtype=jnp.uint32)
-        return jnp.broadcast_to(r, (*batch_shape, 8))
+        cols = [0, big, 0, big, 0, self.r_fwd - 1, 0, self.r_rev - 1]
+        if self.textless:
+            # toehold: SA of last row (offset big-1), flag start, valid
+            cols += [self.toe_init, big - 1, 0, 0]
+        r = jnp.array(cols, dtype=jnp.uint32)
+        return jnp.broadcast_to(r, (*batch_shape, len(cols)))
 
 
 jax.tree_util.register_dataclass(
     BMoveIndex,
     data_fields=["fused", "first_row", "text", "sa_stride", "n_arr"],
-    meta_fields=["n", "r_fwd", "r_rev", "stride"],
+    meta_fields=["n", "r_fwd", "r_rev", "stride", "textless", "toe_init"],
 )

@@ -23,16 +23,46 @@ import jax
 import jax.numpy as jnp
 
 from columba_tpu.index.bmove import (
-    BMoveIndex, START, END, LF_POS, LF_RUN, CHAR, NEXT0, PREV0, CUM0,
+    BMoveIndex, START, END, LF_POS, LF_RUN, CHAR, SA_FIRST, SA_LAST,
+    NEXT0, PREV0, CUM0,
 )
 
 
+# Linear fast-forward iterations before the binary-search fallback kicks
+# in. The hint walk is O(interval overlap) — usually 0-2 steps mid-search —
+# but with no k-mer seeding the first extensions of the FULL range span
+# ~r/4 runs, and an uncapped lockstep walk then runs max-over-lanes x 10^4+
+# iterations: minutes on a remote TPU, long enough to trip the worker
+# watchdog (observed as "TPU worker process crashed"). The reference's
+# pointer walk (moverepr.cpp:287-297 fastForward) never sees this because
+# its per-node steps are tiny; the batched design needs the bound.
+FF_CAP = 16
+
+
+def _run_of_pos(index: BMoveIndex, off, pos, lo):
+    """Largest run j (>= lo) of the off-selected table with START[j] <=
+    pos: bounded binary search, ceil(log2(max r)) fused-row gathers."""
+    r_limit = jnp.where(off == 0, index.r_fwd, index.r_rev)
+    lo = jnp.clip(lo, 0, r_limit - 1)
+    hi = r_limit - 1
+    bits = max(int(index.r_fwd).bit_length(),
+               int(index.r_rev).bit_length())
+    for _ in range(bits):
+        mid = (lo + hi + 1) >> 1
+        st = index.fused[off + mid, START]
+        take = st <= pos
+        lo = jnp.where(take, mid, lo)
+        hi = jnp.where(take, hi, mid - 1)
+    return lo
+
+
 def _ff_forward(index: BMoveIndex, off, run, pos):
-    """Advance run hints while interval end <= pos (batched)."""
+    """Advance run hints while interval end <= pos (batched, capped walk +
+    binary-search fallback so the lockstep trip count stays bounded)."""
     def cond(c):
-        run, _ = c
+        run, it = c
         end = index.fused[off + run, END]
-        return jnp.any(end <= pos)
+        return (it < FF_CAP) & jnp.any(end <= pos)
 
     def body(c):
         run, it = c
@@ -40,14 +70,20 @@ def _ff_forward(index: BMoveIndex, off, run, pos):
         return jnp.where(end <= pos, run + 1, run), it + 1
 
     run, _ = jax.lax.while_loop(cond, body, (run, jnp.zeros((), jnp.int32)))
-    return run
+    behind = index.fused[off + run, END] <= pos
+    return jax.lax.cond(
+        jnp.any(behind),
+        lambda r: jnp.where(behind, _run_of_pos(index, off, pos, r), r),
+        lambda r: r,
+        run)
 
 
 def _ff_backward(index: BMoveIndex, off, run, pos):
-    """Retreat run hints while interval start > pos (batched)."""
+    """Retreat run hints while interval start > pos (batched, capped walk +
+    binary-search fallback; see _ff_forward)."""
     def cond(c):
-        run, _ = c
-        return jnp.any(index.fused[off + run, START] > pos)
+        run, it = c
+        return (it < FF_CAP) & jnp.any(index.fused[off + run, START] > pos)
 
     def body(c):
         run, it = c
@@ -55,7 +91,13 @@ def _ff_backward(index: BMoveIndex, off, run, pos):
         return jnp.where(st > pos, run - 1, run), it + 1
 
     run, _ = jax.lax.while_loop(cond, body, (run, jnp.zeros((), jnp.int32)))
-    return run
+    ahead = index.fused[off + run, START] > pos
+    return jax.lax.cond(
+        jnp.any(ahead),
+        lambda r: jnp.where(ahead, _run_of_pos(index, off, pos,
+                                               jnp.zeros_like(r)), r),
+        lambda r: r,
+        run)
 
 
 def extend_all(index: BMoveIndex, ranges: jax.Array, dirs: jax.Array) -> jax.Array:
@@ -152,12 +194,65 @@ def extend_all(index: BMoveIndex, ranges: jax.Array, dirs: jax.Array) -> jax.Arr
     z = jnp.zeros_like(new_a_lo)
     sel = lambda x, y: jnp.where(bwd[..., None], x, y)
     u32 = lambda x: x.astype(jnp.uint32)
-    out = jnp.stack([
+    cols = [
         sel(new_a_lo, new_b_lo), sel(new_a_hi, new_b_hi),
         sel(new_b_lo, new_a_lo), sel(new_b_hi, new_a_hi),
         u32(sel(new_a_rlo, new_b_rlo)), u32(sel(new_a_rhi1, new_b_rhi1)),
         u32(sel(new_b_rlo, new_a_rlo)), u32(sel(new_b_rhi1, new_a_rhi1)),
-    ], axis=-1)                                               # (..., 4, 8)
+    ]
+
+    if ranges.shape[-1] >= 12:
+        # ---- textless toehold maintenance (reference: src/bmove/
+        # bmove.cpp:289-444 SARangeBackwards/computeToehold[Rev]) ----
+        # Lane cols 8..10: [toe_value, toe_offset, toe_flag]. toe_value is
+        # a fwd-TEXT position: extent START when flag==0 (anchored in the
+        # fwd table) or extent END when flag==1 (anchored in the rev
+        # table); toe_offset = the anchored row's 0-based offset within
+        # that side's interval. All update data rides in rows already
+        # gathered for the extension itself.
+        tv = ranges[..., 8]
+        toff = ranges[..., 9]
+        tflag = ranges[..., 10]
+        n = index.n_arr[0]
+        # width preserved (all parent occurrences extend by c): the anchor
+        # survives; start -1 on prepend, end +1 on append
+        parent_w = (a_hi - a_lo)[..., None]
+        preserved = width == parent_w
+        tv_pres = jnp.where(bwd, tv - jnp.where(tflag == 0, 1, 0),
+                            tv + jnp.where(tflag == 1, 1, 0))[..., None]
+        # reset from the queried side's run samples: last c-row in the
+        # parent interval is hi-1 itself (its run head == c; use that
+        # run's FIRST-row sample, in range because the interval spans >=2
+        # runs on this branch) or the previous c-run's LAST row
+        sample_q = jnp.where(
+            char_hi[..., None] == cvec,
+            jnp.broadcast_to(row_hi[..., SA_FIRST:SA_FIRST + 1],
+                             width.shape),
+            row_q[..., SA_LAST],
+        )
+        # anchored row's LF image, relative to the child's active-side lo
+        # (per char c the cum count OF c in c's own candidate run)
+        cum_hi_c = jnp.stack([row_hi[..., CUM0 + c] for c in range(4)],
+                             axis=-1)
+        cum_q_c = jnp.stack([row_q[..., c, CUM0 + c] for c in range(4)],
+                            axis=-1)
+        lf_rs = jnp.where(
+            char_hi[..., None] == cvec,
+            cum_hi_c,
+            cum_q_c + (row_q[..., END] - row_q[..., START] - 1),
+        )
+        off_reset = (index.first_row[:4] + lf_rs) - new_a_lo
+        tv_reset = jnp.where(bwd[..., None], sample_q - 1, n - sample_q)
+        flag_reset = jnp.where(bwd[..., None], jnp.uint32(0),
+                               jnp.uint32(1))
+        cols += [
+            jnp.where(preserved, tv_pres, tv_reset),
+            jnp.where(preserved, toff[..., None], off_reset),
+            jnp.where(preserved, tflag[..., None], flag_reset),
+            jnp.zeros_like(width),
+        ]
+
+    out = jnp.stack(cols, axis=-1)                   # (..., 4, 8 or 12)
     return jnp.where(ok[..., None], out, z[..., None])
 
 

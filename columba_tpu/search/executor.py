@@ -32,6 +32,12 @@ from columba_tpu.index.fmindex import FMIndex
 from columba_tpu.ops import extend
 from columba_tpu.search.schedule import INF, Schedule
 
+# Ghost-lane id encoding (boundary-harvest deaths kept inert in the
+# frontier): bit 31 flags a ghost, bits 21-30 stash the death-step back
+# depth, bits 0-20 the lane id (caps R * S at 2^21 lanes per batch).
+GHOST_BIT = np.int32(-2147483648)  # 1 << 31 as int32
+GHOST_IDM = (1 << 21) - 1
+
 
 @dataclass(frozen=True)
 class FrontierResult:
@@ -166,18 +172,35 @@ def _pack_state(ranges, ids, band, colmin, bw, W):
     nw = (nb + 3) // 4
     by = jnp.concatenate(
         [band.reshape(*lead, 2 * bw), colmin.reshape(*lead, 2 * W)], axis=-1
-    ).astype(jnp.uint8).astype(jnp.uint32)
+    ).astype(jnp.uint8)
     pad = nw * 4 - nb
     if pad:
         by = jnp.concatenate(
-            [by, jnp.zeros((*lead, pad), jnp.uint32)], axis=-1)
-    by = by.reshape(*lead, nw, 4)
-    shifts = (8 * jnp.arange(4, dtype=jnp.uint32))
-    words = jnp.sum(by << shifts, axis=-1, dtype=jnp.uint32)
-    return jnp.concatenate(
+            [by, jnp.zeros((*lead, pad), jnp.uint8)], axis=-1)
+    # bitcast 4 bytes -> 1 word (no shift/sum arithmetic: the byte packing
+    # is pure layout; its inverse in _unpack_state bitcasts back)
+    import os as _os
+    if _os.environ.get("COLUMBA_TPU_SHIFT_PACK"):
+        byw = by.astype(jnp.uint32).reshape(*lead, nw, 4)
+        shifts = (8 * jnp.arange(4, dtype=jnp.uint32))
+        words = jnp.sum(byw << shifts, axis=-1, dtype=jnp.uint32)
+    else:
+        words = jax.lax.bitcast_convert_type(
+            by.reshape(*lead, nw, 4), jnp.uint32)
+    out = jnp.concatenate(
         [ranges.astype(jnp.uint32), ids[..., None].astype(jnp.uint32), words],
         axis=-1,
     )
+    # pad rows to an aligned power-of-two width: the per-step compaction is
+    # a row gather of this state, and row alignment dominates gather issue
+    # rate (measured tools/gather_bench.py: 64 B rows ~4.6x faster than
+    # 48 B rows); the padding bytes are dead weight XLA streams for free
+    total = out.shape[-1]
+    padded = 1 << (total - 1).bit_length()
+    if total < padded:
+        out = jnp.concatenate(
+            [out, jnp.zeros((*lead, padded - total), jnp.uint32)], axis=-1)
+    return out
 
 
 def _unpack_state(packed, bw, W, rw=4):
@@ -187,8 +210,13 @@ def _unpack_state(packed, bw, W, rw=4):
     nb = 2 * bw + 2 * W
     nw = (nb + 3) // 4
     words = packed[..., rw + 1:rw + 1 + nw]               # (..., nw) uint32
-    shifts = (8 * jnp.arange(4, dtype=jnp.uint32))
-    by = ((words[..., None] >> shifts) & jnp.uint32(0xFF)).astype(jnp.int8)
+    import os as _os
+    if _os.environ.get("COLUMBA_TPU_SHIFT_PACK"):
+        shifts = (8 * jnp.arange(4, dtype=jnp.uint32))
+        by = ((words[..., None] >> shifts) & jnp.uint32(0xFF)).astype(
+            jnp.int8)
+    else:
+        by = jax.lax.bitcast_convert_type(words, jnp.uint8).astype(jnp.int8)
     by = by.reshape(*lead, nw * 4)[..., :nb]
     band = by[..., :2 * bw].reshape(*lead, 2, bw)
     colmin = by[..., 2 * bw:].reshape(*lead, 2, W)
@@ -228,6 +256,10 @@ def run_scheme(
     S = sched.num_searches
     C = int(capacity)
     bw = sched.bw
+    if R * S > GHOST_IDM + 1:
+        raise ValueError(
+            f"batch of {R} rows x {S} searches exceeds the 2^21 lane-id "
+            "space (ghost encoding); lower the batch size")
     if dyn is None:
         if tables is None:  # convenience for direct/test callers
             tables = {kk: jnp.asarray(v)
@@ -534,10 +566,17 @@ def run_scheme(
         meta_row, t_idx = xs                      # (S, 5) packed scalars
         st, overflow, visits, itv_buf, itv_cnt = carry
         ranges, ids, band, colmin = _unpack_state(st, bw, W, rw)
-        sid = ids % S
+        # GHOST lanes (boundary-harvest deaths kept inert in place, see
+        # below): bit 31 flags, bits 21-30 stash the death-step back
+        # depth; bits 0-20 remain the lane id. Ghosts cost a frontier
+        # slot (rare) instead of a per-step harvest scatter (measured
+        # ~3.8 ms/step at C=131072, tools/profile_step2.py).
+        ghost = ids < 0
+        ids_c = ids & GHOST_IDM
+        sid = ids_c % S
         alive = ranges[:, 1] > ranges[:, 0]
         if dyn is not None:
-            meta = meta_flat[ids * T + t_idx]     # per-(read,search) scalars
+            meta = meta_flat[ids_c * T + t_idx]   # per-(read,search) scalars
             # translate the single-register dyn meta layout (bit 2: creset,
             # bits 3-8: colo+1, bits 9-16 ub, bits 17-28 db) into register-op
             # form (W == 1 for parametric schedules)
@@ -564,7 +603,7 @@ def run_scheme(
             cfro_l = (meta >> 6) & 15
             ub = (meta >> 10) & 255
             dbv = (meta >> 18) & 4095
-        act = ((meta & 1) == 1) & alive           # (C,)
+        act = ((meta & 1) == 1) & alive & ~ghost  # (C,)
         sd = (meta >> 1) & 1                      # (C,)
         visits = visits + jnp.sum(act.astype(jnp.int32)) * 4
 
@@ -576,7 +615,7 @@ def run_scheme(
         # where-selects; fancy-index scatters/gathers are slow on TPU).
         is_b = (sd == 0)
         prev = jnp.where(is_b[:, None], band[:, 0], band[:, 1])
-        pchars = pchars_flat[ids * T + t_idx]                 # (C, BW) int8
+        pchars = pchars_flat[ids_c * T + t_idx]               # (C, BW) int8
         newD = _band_row_update(prev, pchars, bw)             # (C, 4ch, BW) int8
 
         # 3) colMin registers (cell picks via unrolled selects, not
@@ -626,16 +665,31 @@ def run_scheme(
         else:
             child_alive = ok
 
-        # 5) expand: child slot 0 of inactive lanes passes the parent through
+        # BOUNDARY HARVEST as GHOSTS: a live, active lane whose every
+        # child neither survives nor drains is dying because the TEXT
+        # ends (mid-text, some extension char always exists); its colMin
+        # registers may already record a completed occurrence. Instead of
+        # a per-step scatter into the in-text buffer, the lane turns into
+        # an inert GHOST in place (parent state kept, ids bit 31 set,
+        # death-step back depth stashed in ids bits 21-30); one post-loop
+        # compaction hands all ghosts to locate/verify.
+        surv = child_alive if switchpoint <= 0 else (child_alive | narrow)
+        died = act & alive & ~jnp.any(surv, axis=1)
+        keepv = act & ~died   # lanes whose slot-0 value comes from a child
+        new_ids = jnp.where(
+            died, ids | GHOST_BIT | (jnp.minimum(dbv, 1023) << 21), ids)
+
+        # 5) expand: child slot 0 of inactive/dying lanes passes the
+        # parent through
         def sel(child_val, parent_val):
-            keep = act.reshape((C, 1) + (1,) * (child_val.ndim - 2))
+            keep = keepv.reshape((C, 1) + (1,) * (child_val.ndim - 2))
             par = jnp.broadcast_to(
                 parent_val[:, None], (C, 4) + parent_val.shape[1:]
             )
             return jnp.where(keep, child_val, par)
 
         ch_alive = jnp.where(
-            act[:, None],
+            keepv[:, None],
             child_alive,
             jnp.concatenate([alive[:, None], jnp.zeros((C, 3), bool)], axis=1),
         )
@@ -643,15 +697,15 @@ def run_scheme(
             ch_alive[..., None], sel(children, ranges), 0
         )                                                     # (C,4,4)
         band_b = jnp.where(
-            (is_b & act)[:, None, None], newD,
+            (is_b & keepv)[:, None, None], newD,
             jnp.broadcast_to(band[:, None, 0], (C, 4, bw)))
         band_f = jnp.where(
-            ((~is_b) & act)[:, None, None], newD,
+            ((~is_b) & keepv)[:, None, None], newD,
             jnp.broadcast_to(band[:, None, 1], (C, 4, bw)))
         ch_band = jnp.stack([band_b, band_f], axis=2)         # (C,4,2,BW)
-        cm_b = jnp.where((is_b & act)[:, None, None], new_cm_sd,
+        cm_b = jnp.where((is_b & keepv)[:, None, None], new_cm_sd,
                          jnp.broadcast_to(cm0[:, None], (C, 4, W)))
-        cm_f = jnp.where(((~is_b) & act)[:, None, None], new_cm_sd,
+        cm_f = jnp.where(((~is_b) & keepv)[:, None, None], new_cm_sd,
                          jnp.broadcast_to(cm1[:, None], (C, 4, W)))
         ch_colmin = jnp.stack([cm_b, cm_f], axis=2)           # (C,4,2,W)
 
@@ -662,7 +716,7 @@ def run_scheme(
             rows = jnp.stack([
                 children[..., 0].reshape(-1),
                 children[..., 1].reshape(-1),
-                jnp.broadcast_to(ids.astype(jnp.uint32)[:, None],
+                jnp.broadcast_to(ids_c.astype(jnp.uint32)[:, None],
                                  (C, 4)).reshape(-1),
                 jnp.broadcast_to(dbv.astype(jnp.uint32)[:, None],
                                  (C, 4)).reshape(-1),
@@ -672,24 +726,9 @@ def run_scheme(
         else:
             itv_buf2, itv_cnt2 = itv_buf, itv_cnt
 
-        # BOUNDARY HARVEST: a live, active lane whose every child neither
-        # survives nor drains is dying because the TEXT ends (mid-text,
-        # some extension char always exists); its colMin registers may
-        # already record a completed occurrence, so hand the parent's
-        # range to locate/verify instead of silently dropping it.
-        surv = child_alive if switchpoint <= 0 else (child_alive | narrow)
-        died = act & alive & ~jnp.any(surv, axis=1)
-        hpos = jnp.cumsum(died.astype(jnp.int32)) - 1
-        dest_h = jnp.where(died, jnp.minimum(itv_cnt2 + hpos, M), M)
-        hrows = jnp.stack([ranges[:, 0], ranges[:, 1],
-                           ids.astype(jnp.uint32),
-                           dbv.astype(jnp.uint32)], axis=1)
-        itv_buf2 = itv_buf2.at[dest_h].set(hrows, mode="drop")
-        itv_cnt2 = jnp.minimum(itv_cnt2 + hpos[-1] + 1, M)
-
         ch_packed = _pack_state(
             ch_ranges,
-            jnp.broadcast_to(ids[:, None], (C, 4)),
+            jnp.broadcast_to(new_ids[:, None], (C, 4)),
             ch_band, ch_colmin, bw, W,
         )                                                     # (C, 4, words)
 
@@ -768,6 +807,20 @@ def run_scheme(
         state, overflow0, visits0, itv_buf0, itv_cnt0 = carry
 
     ranges_f, ids_f, band_f, colmin_f = _unpack_state(state, bw, W, rw)
+    # ghosts (boundary-harvest deaths held inert in the frontier) join the
+    # in-text buffer in ONE post-loop compaction; their stashed death-step
+    # back depth restores the itv row layout [lo, hi, ids, db]
+    ghost_f = ids_f < 0
+    gpos = jnp.cumsum(ghost_f.astype(jnp.int32)) - 1
+    dest_g = jnp.where(ghost_f, jnp.minimum(itv_cnt0 + gpos, M), M)
+    grows = jnp.stack([
+        ranges_f[:, 0], ranges_f[:, 1],
+        (ids_f & GHOST_IDM).astype(jnp.uint32),
+        ((ids_f >> 21) & 1023).astype(jnp.uint32),
+    ], axis=1)
+    itv_buf0 = itv_buf0.at[dest_g].set(grows, mode="drop")
+    itv_cnt0 = jnp.minimum(itv_cnt0 + gpos[-1] + 1, M)
+    ids_f = ids_f & GHOST_IDM
     sid_f = ids_f % S
     # completion bound: each side's LAST window's register (7 = side has no
     # band windows => its exact-matched extent completes at 0)
@@ -784,7 +837,7 @@ def run_scheme(
         cm_b_f = jnp.where(freg[:, 0] == w_, colmin_f[:, 0, w_], cm_b_f)
         cm_f_f = jnp.where(freg[:, 1] == w_, colmin_f[:, 1, w_], cm_f_f)
     ed_lb = cm_b_f.astype(jnp.int32) + cm_f_f.astype(jnp.int32)
-    alive_f = ranges_f[:, 1] > ranges_f[:, 0]
+    alive_f = (ranges_f[:, 1] > ranges_f[:, 0]) & ~ghost_f
     u_src = (dyn["u_last"] if dyn is not None
              else [int(v) for v in sched.u_last])
     done = alive_f & (ed_lb <= select_by(sid_f, u_src))

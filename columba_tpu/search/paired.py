@@ -105,6 +105,103 @@ def pair_occurrences(
     return out
 
 
+def map_pairs_all_start(
+    index,
+    reads1: np.ndarray,
+    reads2: np.ndarray,
+    scheme_name: str,
+    k: int,
+    metric: str,
+    kmer_table=None,
+):
+    """Dispatch ALL-mode paired mapping (both sides' device passes)."""
+    scheme = get_scheme(scheme_name, k)
+    ctx1 = pipeline.match_all_start(index, reads1, scheme, metric=metric,
+                                    kmer_table=kmer_table)
+    ctx2 = pipeline.match_all_start(index, reads2, scheme, metric=metric,
+                                    kmer_table=kmer_table)
+    return dict(ctx1=ctx1, ctx2=ctx2, reads1=reads1, reads2=reads2, k=k,
+                metric=metric)
+
+
+def map_pairs_all_finish(
+    handle,
+    pcfg: PairedConfig,
+    seq_starts: np.ndarray,
+    arrays=None,
+    counters=None,
+) -> list[MappedPair]:
+    """Fetch + array-pair an ALL-mode PE batch (window joins, no per-read
+    Python pairing loops)."""
+    from columba_tpu.search import pairing
+
+    k, metric = handle["k"], handle["metric"]
+    occs = []
+    for ctx, reads in ((handle["ctx1"], handle["reads1"]),
+                       (handle["ctx2"], handle["reads2"])):
+        occ, stats = pipeline.match_all_finish(ctx)
+        if counters is not None:
+            counters.add_device_stats(stats)
+        if arrays is not None:
+            kb = k if metric == "edit" else 0
+            occ = pipeline.apply_boundary_trim(occ, reads, arrays, kb, k)
+        occs.append(occ)
+    occ1, occ2 = occs
+    R = len(handle["reads1"])
+    cand = pairing.sort_pairs(pairing.concordant_pairs(
+        occ1, occ2, pcfg.orientation, pcfg.min_insert, pcfg.max_insert,
+        seq_starts))
+    # every concordant pair is kept in ALL mode; pairless reads fall back
+    best = np.full(R, np.iinfo(np.int64).max - 1, dtype=np.int64)
+    if len(cand):
+        np.minimum.at(best, cand.pair_id, cand.total)
+    out = _rows_to_mapped_all(cand, best, occ1, occ2, R, pcfg)
+    return out
+
+
+def _rows_to_mapped_all(rows, best, occ1, occ2, R,
+                        pcfg: PairedConfig) -> list[MappedPair]:
+    big = np.iinfo(np.int64).max - 1
+    out = [MappedPair() for _ in range(R)]
+    if len(rows):
+        bounds = np.searchsorted(rows.pair_id, np.arange(R + 1))
+        for i in range(R):
+            b0, b1 = int(bounds[i]), int(bounds[i + 1])
+            prs = out[i].pairs
+            for j in range(b0, b1):
+                prs.append(PairedOcc(
+                    pipeline.Occurrence(i, int(rows.u_strand[j]),
+                                        int(rows.u_begin[j]),
+                                        int(rows.u_end[j]),
+                                        int(rows.u_dist[j])),
+                    pipeline.Occurrence(i, int(rows.d_strand[j]),
+                                        int(rows.d_begin[j]),
+                                        int(rows.d_end[j]),
+                                        int(rows.d_dist[j])),
+                    bool(rows.up_is_1[j])))
+    pairless = np.nonzero(best >= big)[0]
+    if len(pairless):
+        sel = np.zeros(R, dtype=bool)
+        sel[pairless] = True
+        sub1 = occ1.take(sel[occ1.read_id])
+        sub2 = occ2.take(sel[occ2.read_id])
+        per1 = {int(i): [[], []] for i in pairless}
+        per2 = {int(i): [[], []] for i in pairless}
+        for o in sub1:
+            per1[o.read_id][o.strand].append(o)
+        for o in sub2:
+            per2[o.read_id][o.strand].append(o)
+        for i in (int(v) for v in pairless):
+            mp = out[i]
+            if pcfg.discordant:
+                mp.discordant = _pair_discordantly(per1[i], per2[i],
+                                                   pcfg.max_discordant)
+            if not mp.discordant:
+                mp.unpaired1 = per1[i][0] + per1[i][1]
+                mp.unpaired2 = per2[i][0] + per2[i][1]
+    return out
+
+
 def map_pairs_all(
     index,
     reads1: np.ndarray,
@@ -117,40 +214,142 @@ def map_pairs_all(
     kmer_table=None,
     arrays=None,
 ) -> list[MappedPair]:
-    """ALL-mode paired mapping of a batch of pairs."""
-    scheme = get_scheme(scheme_name, k)
-    occ1, _ = pipeline.match_all(index, reads1, scheme, metric=metric,
-                                 kmer_table=kmer_table)
-    occ2, _ = pipeline.match_all(index, reads2, scheme, metric=metric,
-                                 kmer_table=kmer_table)
-    if arrays is not None:
-        kb = k if metric == "edit" else 0
-        occ1 = pipeline.apply_boundary_trim(occ1, reads1, arrays, kb, k)
-        occ2 = pipeline.apply_boundary_trim(occ2, reads2, arrays, kb, k)
-    R = len(reads1)
-    per1 = [[[], []] for _ in range(R)]
-    per2 = [[[], []] for _ in range(R)]
-    for o in occ1:
-        per1[o.read_id][o.strand].append(o)
-    for o in occ2:
-        per2[o.read_id][o.strand].append(o)
+    """ALL-mode paired mapping of a batch of pairs (synchronous)."""
+    handle = map_pairs_all_start(index, reads1, reads2, scheme_name, k,
+                                 metric, kmer_table)
+    return map_pairs_all_finish(handle, pcfg, seq_starts, arrays=arrays)
 
-    out = []
-    for i in range(R):
-        mp = MappedPair()
-        combos = _orientation_combos(pcfg.orientation, per1[i], per2[i])
-        for up, down, up_is_1 in combos:
-            mp.pairs.extend(
-                pair_occurrences(up, down, pcfg.min_insert, pcfg.max_insert,
-                                 up_is_1, seq_starts)
-            )
-        if not mp.pairs and pcfg.discordant:
-            mp.discordant = _pair_discordantly(per1[i], per2[i],
-                                               pcfg.max_discordant)
-        if not mp.pairs and not mp.discordant:
-            mp.unpaired1 = per1[i][0] + per1[i][1]
-            mp.unpaired2 = per2[i][0] + per2[i][1]
-        out.append(mp)
+
+def map_pairs_best_start(
+    index,
+    reads1: np.ndarray,
+    reads2: np.ndarray,
+    cfg: strategy.MappingConfig,
+    pcfg: PairedConfig,
+    seq_starts: np.ndarray,
+    kmer_table=None,
+    counters=None,
+):
+    """Dispatch PE BEST(+x): single-pass — both sides mapped once at their
+    full cutoffs with ALL semantics, pairing done array-native in finish.
+
+    The union of the reference's total-distance strata IS the set of pairs
+    with per-side distances <= (cut1, cut2); filtering that union to
+    [best_total, best_total + x] per read reproduces the stratified
+    ladder's output (same argument as SE single-pass BEST,
+    strategy.map_batch_best_start). The ladder
+    (src/searchstrategy.cpp:1091-1179) exists because the reference's
+    per-read DFS cost explodes with k; the batched engine's does not, and
+    one full-batch pass per side beats many compacted stratum rounds.
+    Deep cutoffs (> 6) keep the ladder via map_pairs_best."""
+    R, m1 = reads1.shape
+    _, m2 = reads2.shape
+    cut1 = strategy.best_cutoff_for(cfg, m1)
+    cut2 = strategy.best_cutoff_for(cfg, m2)
+    if max(cut1, cut2) > 6:
+        return dict(mode="ladder",
+                    mapped=map_pairs_best(index, reads1, reads2, cfg, pcfg,
+                                          seq_starts, kmer_table, counters))
+    ctx1 = pipeline.match_all_start(
+        index, reads1, strategy._scheme_for(cfg, cut1), metric=cfg.metric,
+        capacity=cfg.capacity, max_locate=cfg.max_locate,
+        kmer_table=kmer_table, partitioning=cfg.partitioning,
+        switchpoint=cfg.switchpoint)
+    ctx2 = pipeline.match_all_start(
+        index, reads2, strategy._scheme_for(cfg, cut2), metric=cfg.metric,
+        capacity=cfg.capacity, max_locate=cfg.max_locate,
+        kmer_table=kmer_table, partitioning=cfg.partitioning,
+        switchpoint=cfg.switchpoint)
+    return dict(mode="single", ctx1=ctx1, ctx2=ctx2, cut1=cut1, cut2=cut2,
+                reads1=reads1, reads2=reads2)
+
+
+def map_pairs_best_finish(
+    handle,
+    cfg: strategy.MappingConfig,
+    pcfg: PairedConfig,
+    seq_starts: np.ndarray,
+    counters=None,
+) -> list[MappedPair]:
+    """Fetch + array-pair a dispatched PE BEST batch -> MappedPair list
+    (pair objects built only for the emitted records)."""
+    if handle["mode"] == "ladder":
+        return handle["mapped"]
+    from columba_tpu.search import pairing
+
+    reads1, reads2 = handle["reads1"], handle["reads2"]
+    cut1, cut2 = handle["cut1"], handle["cut2"]
+    R = len(reads1)
+    x = int(cfg.best_plus_x)
+    tot_cut = cut1 + cut2
+    occs = []
+    for ctx, reads, cut in ((handle["ctx1"], reads1, cut1),
+                            (handle["ctx2"], reads2, cut2)):
+        occ, stats = pipeline.match_all_finish(ctx)
+        if counters is not None:
+            counters.add_device_stats(stats)
+        if cfg.arrays is not None:
+            kbs = cut if cfg.metric == "edit" else 0
+            occ = pipeline.apply_boundary_trim(occ, reads, cfg.arrays,
+                                               kbs, cut)
+        occs.append(occ)
+    occ1, occ2 = occs
+    cand = pairing.concordant_pairs(occ1, occ2, pcfg.orientation,
+                                    pcfg.min_insert, pcfg.max_insert,
+                                    seq_starts)
+    kept, best = pairing.best_filter(cand, R, tot_cut, x)
+    return _rows_to_mapped(kept, best, occ1, occ2, R, tot_cut, x, pcfg)
+
+
+def _rows_to_mapped(kept, best, occ1, occ2, R, tot_cut, x,
+                    pcfg: PairedConfig) -> list[MappedPair]:
+    """Kept PairRows (+ full-depth side OccArrays for the fallbacks) ->
+    per-read MappedPair objects; discordant/unpaired handling per pairless
+    read mirrors the ladder path (the sides are already mapped to their
+    full cutoffs here)."""
+    out = [MappedPair() for _ in range(R)]
+    if len(kept):
+        bounds = np.searchsorted(kept.pair_id, np.arange(R + 1))
+        for i in range(R):
+            b0, b1 = int(bounds[i]), int(bounds[i + 1])
+            if b0 == b1:
+                continue
+            prs = out[i].pairs
+            for j in range(b0, b1):
+                prs.append(PairedOcc(
+                    pipeline.Occurrence(i, int(kept.u_strand[j]),
+                                        int(kept.u_begin[j]),
+                                        int(kept.u_end[j]),
+                                        int(kept.u_dist[j])),
+                    pipeline.Occurrence(i, int(kept.d_strand[j]),
+                                        int(kept.d_begin[j]),
+                                        int(kept.d_end[j]),
+                                        int(kept.d_dist[j])),
+                    bool(kept.up_is_1[j])))
+    pairless = np.nonzero(best > tot_cut)[0]
+    if len(pairless):
+        sel = np.zeros(R, dtype=bool)
+        sel[pairless] = True
+        sub1 = occ1.take(sel[occ1.read_id])
+        sub2 = occ2.take(sel[occ2.read_id])
+        per1 = {int(i): [[], []] for i in pairless}
+        per2 = {int(i): [[], []] for i in pairless}
+        for o in sub1:
+            per1[o.read_id][o.strand].append(o)
+        for o in sub2:
+            per2[o.read_id][o.strand].append(o)
+        for i in (int(v) for v in pairless):
+            mp = out[i]
+            if pcfg.discordant:
+                mp.discordant = _pair_discordantly_best(
+                    per1[i], per2[i], x, pcfg.max_discordant)
+            if not mp.discordant:
+                for occs_i, dst in ((per1[i][0] + per1[i][1], "unpaired1"),
+                                    (per2[i][0] + per2[i][1], "unpaired2")):
+                    if occs_i:
+                        b = min(o.distance for o in occs_i)
+                        setattr(mp, dst,
+                                [o for o in occs_i if o.distance <= b + x])
     return out
 
 

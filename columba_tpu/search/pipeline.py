@@ -463,6 +463,7 @@ def match_all_start(
     switchpoint: int = 0,
     ex_split: int = 0,
     ex_cap: int = 0,
+    host_arrays=None,
 ) -> tuple[OccArray, dict]:
     """ALL-mode matching of a read batch: every occurrence with ed <= k.
 
@@ -479,6 +480,28 @@ def match_all_start(
     # ship codes as uint8 (4x fewer bytes than int32 over the host->HBM
     # link; the remote-tunnel TPU link is ~10-15 MB/s) and widen on device
     batch_dev = _widen_batch(jnp.asarray(batch))
+
+    if getattr(index, "textless", False):
+        if isinstance(scheme, (list, tuple)):
+            raise NotImplementedError(
+                "textless RLC: dynamic scheme selection needs the exact-"
+                "range probe; use a single scheme (-nD)")
+        if k == 0:
+            raise NotImplementedError(
+                "textless RLC: use k >= 1 (the k=0 fast path locates via "
+                "the strided samples the textless flavor drops)")
+        if host_arrays is None or getattr(host_arrays, "phi_fwd",
+                                          None) is None:
+            raise ValueError("textless RLC matching needs host_arrays "
+                             "with phi tables")
+        sched = compile_cached(scheme, m, metric, kmer_k=0,
+                               partitioning="uniform")
+        if capacity is None:
+            capacity = max(1024, batch.shape[0] * sched.num_searches // 2)
+        occs_stats = _match_textless(index, host_arrays, batch_dev, R, k,
+                                     kb, sched, capacity,
+                                     auto_capacity=True)
+        return dict(result=occs_stats)
 
     # locate/verify capacities must scale with the batch: a fixed cap
     # silently truncates stage_expand at larger batch sizes (measured: the
@@ -552,7 +575,20 @@ def match_all_start(
         # k=2 batches fit in cap 16384 with overflow 0, and device time
         # grows ~1.3x from cap 16k to 131k). The lossless worst case is
         # covered by the 4x overflow retry in match_all_finish.
-        capacity = max(1024, batch.shape[0] * live_s // 8)
+        # With the crossover OFF (-i 0) nothing drains mid-scan, so exact
+        # -prefix survivors occupy the frontier all the way to completion:
+        # measured ~40% of L live concurrently at k=4 (profile_band.py) —
+        # /8 would overflow-retry every batch, tripling device time. /2
+        # holds the measured worst case with 20% headroom.
+        div = 2 if switchpoint == 0 else 8
+        capacity = max(1024, batch.shape[0] * live_s // div)
+    if (switchpoint == 0 and ex_split == 0 and kmer_table is not None
+            and dyn is None and sched.kmer_k > 0 and sched.e_max > 8):
+        # two-stage exact loop for the band path too: with no crossover
+        # the exact phase otherwise runs all E steps at the full R*S lane
+        # count; the k-mer seed + 8 steps kill most random-hit lanes, so
+        # the tail runs compacted (same lossless overflow-retry contract)
+        ex_split, ex_cap = 8, capacity
 
     def run(cap, ecap, ml):
         itv_cap, split_step, cap2 = crossover_caps(cap, ml, switchpoint)
@@ -674,6 +710,162 @@ def _match_exact(index, batch, R, max_locate):
                     pos_v[order] + m, np.zeros(order.size, np.int64))
     stats = dict(total_candidates=total, overflow=0, nodes_visited=0,
                  locate_truncated=total > max_locate)
+    return occs, stats
+
+
+@partial(jax.jit, static_argnames=("sched", "capacity"))
+def _textless_device(index, batch, sched, tables, capacity):
+    """Textless RLC device step: scheme run only — no locate/verify (both
+    need O(n) structures); done lanes carry toehold samples in their
+    range vectors (ops/bextend)."""
+    res = executor.run_scheme(index, batch, sched, int(capacity),
+                              None, None, None, 0, 0, 0, 0, tables=tables)
+    return dict(ranges=res.ranges, rid=res.rid, sid=res.sid,
+                ed_lb=res.ed_lb, done=res.done, overflow=res.overflow,
+                nodes=res.nodes_visited, harvest=res.itv_count,
+                searches=res.searches_started)
+
+
+def _phi_eval(vals: np.ndarray, xs: np.ndarray, ys: np.ndarray):
+    j = np.searchsorted(xs, vals, side="right") - 1
+    return ys[j] + (vals - xs[j])
+
+
+def _phi_enumerate(seed, offs, widths, phi: np.ndarray):
+    """Enumerate every row of each candidate interval from one in-range
+    sample (value `seed`, 0-based interval offset `offs`, interval width
+    `widths`): phi walks up (rows offs-1..0), phi-inverse walks down
+    (rows offs+1..w-1). Vectorized across candidates; pass count = max
+    chain length. Returns (cand_idx, values) flat arrays.
+
+    The TPU-native analogue of the reference's toehold + phi enumeration
+    (src/bmove/bmove.cpp:503-547 collectTextPositions, plcp.h:59-130) —
+    the known width + offset replace its PLCP stop condition."""
+    xs, ys, xsi, ysi = (phi[:, 0].astype(np.int64),
+                        phi[:, 1].astype(np.int64),
+                        phi[:, 2].astype(np.int64),
+                        phi[:, 3].astype(np.int64))
+    n_c = len(seed)
+    out_idx = [np.arange(n_c)]
+    out_val = [seed.astype(np.int64)]
+    # up
+    live = np.nonzero(offs > 0)[0]
+    vals = seed[live].astype(np.int64)
+    rem = offs[live].copy()
+    while live.size:
+        vals = _phi_eval(vals, xs, ys)
+        out_idx.append(live.copy())
+        out_val.append(vals.copy())
+        rem -= 1
+        keep = rem > 0
+        live, vals, rem = live[keep], vals[keep], rem[keep]
+    # down
+    live = np.nonzero(widths - 1 - offs > 0)[0]
+    vals = seed[live].astype(np.int64)
+    rem = (widths - 1 - offs)[live].copy()
+    while live.size:
+        vals = _phi_eval(vals, xsi, ysi)
+        out_idx.append(live.copy())
+        out_val.append(vals.copy())
+        rem -= 1
+        keep = rem > 0
+        live, vals, rem = live[keep], vals[keep], rem[keep]
+    return np.concatenate(out_idx), np.concatenate(out_val)
+
+
+def _match_textless(index, host_arrays, batch_dev, R, k, kb, sched,
+                    capacity, auto_capacity=True):
+    """Textless RLC matching: frontier-only device pass + host phi locate.
+
+    Occurrence distances are the search's exact extent distances (ed_lb of
+    done lanes); begins are extent starts adjusted by the static back
+    overshoot — the RLC no-CIGAR reporting mode (reference RLC default,
+    src/parameters/alignparameters.cpp:131-160). Index bytes scale with
+    runs r, not text length n."""
+    tables = device_tables(sched)
+    S = sched.num_searches
+    cap = int(capacity)
+    out = fetch_tree(_textless_device(index, batch_dev, sched, tables, cap))
+    for _ in range(3):
+        if not (auto_capacity and int(out["overflow"]) > 0):
+            break
+        cap *= 4
+        out = fetch_tree(
+            _textless_device(index, batch_dev, sched, tables, cap))
+
+    sel = np.asarray(out["done"])
+    ranges = np.asarray(out["ranges"])[sel]
+    rid = np.asarray(out["rid"])[sel].astype(np.int64)
+    sid = np.asarray(out["sid"])[sel].astype(np.int64)
+    ed = np.asarray(out["ed_lb"])[sel].astype(np.int64)
+    stats = dict(
+        total_candidates=0, overflow=int(out["overflow"]),
+        nodes_visited=int(out["nodes"]),
+        itv_started=0, searches_started=int(out["searches"]),
+        # harvest rows carry no toehold; without text they cannot be
+        # located (text-boundary deaths only) — counted, not reported
+        aborted_in_text=int(out["harvest"]),
+        locate_truncated=False,
+    )
+    if not sel.any():
+        return OccArray.empty(), stats
+
+    n = index.n
+    flag = ranges[:, 10].astype(np.int64)
+    lo = np.where(flag == 0, ranges[:, 0], ranges[:, 2]).astype(np.int64)
+    hi = np.where(flag == 0, ranges[:, 1], ranges[:, 3]).astype(np.int64)
+    w = hi - lo
+    tv = ranges[:, 8].astype(np.int64)
+    toff = ranges[:, 9].astype(np.int64)
+    # static per-search extent length and back-overshoot correction
+    active = np.asarray(sched.active)
+    ex_pos = np.asarray(sched.ex_pos)
+    t_total = (ex_pos >= 0).sum(axis=1) + active.sum(axis=1)   # (S,)
+    estb = (np.asarray(sched.t_back, dtype=np.int64)
+            - np.asarray(sched.pivot, dtype=np.int64))
+
+    # enumerate each side's interval with its own phi tables
+    parts = []
+    for f, phi in ((0, host_arrays.phi_fwd), (1, host_arrays.phi_rev)):
+        m_ = flag == f
+        if not m_.any():
+            continue
+        seed = tv[m_] if f == 0 else (n - 1 - tv[m_])
+        ci, vals = _phi_enumerate(seed, toff[m_], w[m_], phi)
+        src = np.nonzero(m_)[0][ci]
+        if f == 1:
+            # rev SA value -> fwd extent start (extent text length is the
+            # static extension count of the search)
+            ends = n - 1 - vals
+            vals = ends - (t_total[sid[src]] - 1)
+        parts.append((src, vals))
+    src = np.concatenate([p[0] for p in parts])
+    starts = np.concatenate([p[1] for p in parts])
+    stats["total_candidates"] = int(len(src))
+
+    begin = starts + estb[sid[src]]
+    begin = np.clip(begin, 0, n - 1)
+    read = rid[src] % R
+    strand = rid[src] // R
+    dist = ed[src]
+    m_read = int(batch_dev.shape[1])
+    # dedup + redundancy collapse: same (read, strand) within +-kb keeps
+    # the lowest distance (the with-text path resolves these via verify
+    # windows; without text the extent estimates stand in)
+    order = np.lexsort((dist, begin, strand, read))
+    read, strand, begin, dist = (read[order], strand[order], begin[order],
+                                 dist[order])
+    keep = np.ones(len(read), dtype=bool)
+    if len(read) > 1:
+        same = (read[1:] == read[:-1]) & (strand[1:] == strand[:-1])
+        near = begin[1:] - begin[:-1] <= max(2 * kb, 1) - 1
+        # within a (read, strand) group begins ascend; a chain of near
+        # rows collapses to its first (lowest-begin, then lowest-dist)
+        drop = same & near
+        keep[1:] = ~drop
+    read, strand, begin, dist = (read[keep], strand[keep], begin[keep],
+                                 dist[keep])
+    occs = OccArray(read, strand, begin, begin + m_read, dist)
     return occs, stats
 
 

@@ -115,7 +115,7 @@ def map_batch_all_start(index: FMIndex, reads: np.ndarray,
         index, reads, scheme, metric=cfg.metric,
         capacity=cfg.capacity, max_locate=cfg.max_locate,
         kmer_table=cfg.kmer_table, partitioning=cfg.partitioning,
-        switchpoint=cfg.switchpoint,
+        switchpoint=cfg.switchpoint, host_arrays=cfg.arrays,
     )
 
 
@@ -125,7 +125,8 @@ def map_batch_all_finish(ctx, index: FMIndex, reads: np.ndarray,
     occs, stats = pipeline.match_all_finish(ctx)
     if counters is not None:
         counters.add_device_stats(stats)
-    if cfg.arrays is not None:
+    if cfg.arrays is not None and not getattr(cfg.arrays, "textless",
+                                              False):
         kb = cfg.max_distance if cfg.metric == "edit" else 0
         occs = pipeline.apply_boundary_trim(occs, reads, cfg.arrays, kb,
                                             cfg.max_distance)
@@ -153,6 +154,62 @@ def map_batch_all(
     return _group_mapped(occs, len(reads))
 
 
+def best_cutoff_for(cfg: MappingConfig, m: int) -> int:
+    supported = max_supported_k(cfg.scheme_name, m, cfg.metric)
+    return get_max_ed(cfg.min_identity, m, max(supported, 1))
+
+
+def map_batch_best_start(index: FMIndex, reads: np.ndarray,
+                         cfg: MappingConfig, counters=None):
+    """Dispatch BEST(+x) matching; returns an opaque handle for
+    map_batch_best_finish — the same start/finish split as ALL mode, so
+    the CLI emitter thread overlaps fetch + post-processing with the next
+    batch's device work (the reference's default mode must pipeline too).
+
+    Single-pass cutoffs (<= 6) dispatch one ALL run here and filter in
+    finish; the deep stratum ladder is inherently iterative (each stratum
+    depends on the previous round's per-read best), so it runs to
+    completion inside start and finish is a passthrough."""
+    R, m = reads.shape
+    cutoff = best_cutoff_for(cfg, m)
+    if cutoff <= 6:
+        ctx = pipeline.match_all_start(
+            index, reads, _scheme_for(cfg, cutoff), metric=cfg.metric,
+            capacity=cfg.capacity, max_locate=cfg.max_locate,
+            kmer_table=cfg.kmer_table, partitioning=cfg.partitioning,
+            switchpoint=cfg.switchpoint, host_arrays=cfg.arrays,
+        )
+        return dict(mode="single", ctx=ctx, cutoff=cutoff)
+    return dict(mode="ladder",
+                occs=map_batch_best_arr(index, reads, cfg, counters))
+
+
+def map_batch_best_finish(handle, index: FMIndex, reads: np.ndarray,
+                          cfg: MappingConfig, counters=None):
+    """Fetch + filter a dispatched BEST batch -> OccArray."""
+    if handle["mode"] == "ladder":
+        return handle["occs"]
+    R, m = reads.shape
+    cutoff = handle["cutoff"]
+    x = cfg.best_plus_x
+    occs, stats = pipeline.match_all_finish(handle["ctx"])
+    if counters is not None:
+        counters.add_device_stats(stats)
+    if cfg.arrays is not None and not getattr(cfg.arrays, "textless",
+                                              False):
+        kbs = cutoff if cfg.metric == "edit" else 0
+        occs = pipeline.apply_boundary_trim(occs, reads, cfg.arrays,
+                                            kbs, cutoff)
+    if not len(occs):
+        return occs
+    best1 = np.full(R, cutoff + 1, dtype=np.int64)
+    np.minimum.at(best1, occs.read_id, occs.distance)
+    rb = best1[occs.read_id]
+    occs = occs.take(occs.distance <= np.minimum(rb + x, cutoff))
+    o2 = np.lexsort((occs.begin, occs.end, occs.strand, occs.read_id))
+    return occs.take(o2)
+
+
 def map_batch_best_arr(
     index: FMIndex, reads: np.ndarray, cfg: MappingConfig, counters=None
 ):
@@ -165,8 +222,7 @@ def map_batch_best_arr(
     final best(+x)-filtered OccArray (read ids global to ``reads``).
     """
     R, m = reads.shape
-    supported = max_supported_k(cfg.scheme_name, m, cfg.metric)
-    cutoff = get_max_ed(cfg.min_identity, m, max(supported, 1))
+    cutoff = best_cutoff_for(cfg, m)
     x = cfg.best_plus_x
     if cutoff <= 6:
         # Single-pass BEST: one ALL run at the cutoff, then filter each
@@ -180,26 +236,8 @@ def map_batch_best_arr(
         # the batched engine's does not. Deep cutoffs (long reads,
         # k up to 13) keep the ladder: one k=13 pass over every read
         # would do the explosion the ladder avoids.
-        occs, stats = pipeline.match_all(
-            index, reads, _scheme_for(cfg, cutoff), metric=cfg.metric,
-            capacity=cfg.capacity, max_locate=cfg.max_locate,
-            kmer_table=cfg.kmer_table, partitioning=cfg.partitioning,
-            switchpoint=cfg.switchpoint,
-        )
-        if counters is not None:
-            counters.add_device_stats(stats)
-        if cfg.arrays is not None:
-            kbs = cutoff if cfg.metric == "edit" else 0
-            occs = pipeline.apply_boundary_trim(occs, reads, cfg.arrays,
-                                                kbs, cutoff)
-        if not len(occs):
-            return occs
-        best1 = np.full(R, cutoff + 1, dtype=np.int64)
-        np.minimum.at(best1, occs.read_id, occs.distance)
-        rb = best1[occs.read_id]
-        occs = occs.take(occs.distance <= np.minimum(rb + x, cutoff))
-        o2 = np.lexsort((occs.begin, occs.end, occs.strand, occs.read_id))
-        return occs.take(o2)
+        handle = map_batch_best_start(index, reads, cfg, counters)
+        return map_batch_best_finish(handle, index, reads, cfg, counters)
     best = np.full(R, cutoff + 1, dtype=np.int64)
     explored = np.full(R, -1, dtype=np.int64)
     parts: list = []
@@ -214,11 +252,12 @@ def map_batch_best_arr(
             index, reads[sub], scheme, metric=cfg.metric,
             capacity=cfg.capacity, max_locate=cfg.max_locate,
             kmer_table=cfg.kmer_table, partitioning=cfg.partitioning,
-            switchpoint=cfg.switchpoint,
+            switchpoint=cfg.switchpoint, host_arrays=cfg.arrays,
         )
         if counters is not None:
             counters.add_device_stats(stats)
-        if cfg.arrays is not None:
+        if cfg.arrays is not None and not getattr(cfg.arrays, "textless",
+                                                  False):
             kbs = k if cfg.metric == "edit" else 0
             occs = pipeline.apply_boundary_trim(occs, reads[sub],
                                                 cfg.arrays, kbs, k)
@@ -399,6 +438,46 @@ def emit_sam(
                         ed,
                     )
                 )
+    return lines
+
+
+def emit_sam_textless(
+    records,
+    mapped: list[MappedRead],
+    arrays,
+    unmapped_records: bool = True,
+    counters=None,
+) -> list[str]:
+    """SAM lines without genome text: '*' CIGARs, begins straight from the
+    toehold/phi locate, distances from the search (the textless RLC
+    reporting mode — the reference's RLC flavor likewise defaults to no
+    CIGAR, src/parameters/alignparameters.cpp:131-160)."""
+    starts = arrays.seq_starts
+    lines = []
+    for rec, mr in zip(records, mapped):
+        if not mr.occs:
+            if unmapped_records:
+                lines.append(sam.unmapped_record(rec.name, rec.codes,
+                                                 rec.qual))
+            continue
+        occs = sorted(mr.occs, key=lambda o: (o.distance, o.begin,
+                                              o.strand))
+        best_ed = occs[0].distance
+        n_best = sum(1 for o in occs if o.distance == best_ed)
+        mq = sam.mapq(max(n_best, 1))
+        for rank_i, o in enumerate(occs):
+            seq_codes = (rec.codes if o.strand == 0
+                         else alphabet.revcomp(rec.codes))
+            qual = rec.qual if o.strand == 0 else rec.qual[::-1]
+            sidx = int(np.searchsorted(starts, o.begin, side="right") - 1)
+            sidx = max(0, min(sidx, len(arrays.seq_names) - 1))
+            pos1 = o.begin - int(starts[sidx]) + 1
+            flag = (16 if o.strand else 0) | (256 if rank_i > 0 else 0)
+            lines.append(sam.record(
+                rec.name, flag, arrays.seq_names[sidx], pos1,
+                mq if o.distance == best_ed else 0, "*", seq_codes, qual,
+                o.distance,
+            ))
     return lines
 
 

@@ -179,3 +179,98 @@ def test_locate_pan_genome_bounded(rng):
     np.testing.assert_array_equal(got, want)
     # stride table covers every LOCATE_STRIDE-th of the n+1 BWT rows
     assert bm.sa_stride.shape[0] == -(-(n + 1) // LOCATE_STRIDE)
+
+
+def test_phi_tables_identity(rng):
+    """phi(SA[i]) == SA[i-1] and phinv(SA[i]) == SA[i+1] exactly, from the
+    run-boundary piece tables (the r-index property textless locate rests
+    on; reference src/bmove/plcp.h:59-130)."""
+    from columba_tpu.index.bmove import build_bmove_from_codes
+    from columba_tpu.index.suffix import suffix_array
+
+    unit = rng.integers(0, 4, size=300).astype(np.uint8)
+    genome = np.concatenate([unit] * 4 + [rng.integers(0, 4, 500)]).astype(
+        np.uint8)
+    arrays = build_bmove_from_codes(genome, textless=True)
+    n = len(genome)
+    sa = suffix_array(genome)
+    sa_full = np.concatenate([[n], sa]).astype(np.int64)
+
+    phi = arrays.phi_fwd.astype(np.int64)
+    xs, ys, xsi, ysi = phi[:, 0], phi[:, 1], phi[:, 2], phi[:, 3]
+    p = sa_full[1:]
+    j = np.searchsorted(xs, p, side="right") - 1
+    np.testing.assert_array_equal(ys[j] + (p - xs[j]), sa_full[:-1])
+    q = sa_full[:-1]
+    ji = np.searchsorted(xsi, q, side="right") - 1
+    np.testing.assert_array_equal(ysi[ji] + (q - xsi[ji]), sa_full[1:])
+
+
+@pytest.mark.parametrize("metric", ["hamming", "edit"])
+def test_textless_matches_with_text(pair, rng, metric):
+    """Textless RLC (toehold + phi locate, no packed text / stride
+    samples) finds every occurrence the with-text RLC pipeline finds:
+    exact position parity for Hamming (no indels -> extent starts are
+    exact), +-k position tolerance for edit (no verify pass to refine)."""
+    from columba_tpu.search import pipeline
+    from columba_tpu.search.scheme import get_scheme
+
+    genome, fm, bm = pair
+    tl = BMoveIndex.from_arrays(build_bmove_from_codes(genome,
+                                                       textless=True))
+    assert tl.textless and tl.range_width == 12
+    k = 2
+    reads = sample_reads(rng, genome, num=12, length=80, max_err=k,
+                         edits=(metric == "edit"))
+    o_ref, _ = pipeline.match_all(bm, reads, get_scheme("kuch1", k),
+                                  metric=metric, redundancy_filter=False,
+                                  switchpoint=0)
+    from columba_tpu.index.bmove import build_bmove_from_codes as _b
+
+    arrays_tl = _b(genome, textless=True)
+    o_tl, s_tl = pipeline.match_all(
+        tl, reads, get_scheme("kuch1", k), metric=metric,
+        switchpoint=0, host_arrays=arrays_tl)
+    assert s_tl["overflow"] == 0
+    ref_by = {}
+    for o in o_ref:
+        ref_by.setdefault((o.read_id, o.strand), []).append(o)
+    tl_by = {}
+    for o in o_tl:
+        tl_by.setdefault((o.read_id, o.strand), []).append(o)
+    # same (read, strand) groups mapped
+    assert set(tl_by) == set(ref_by)
+    tol = 0 if metric == "hamming" else k
+    for key_, occs in tl_by.items():
+        ref_begins = sorted(o.begin for o in ref_by[key_])
+        for o in occs:
+            assert any(abs(o.begin - rb) <= tol for rb in ref_begins), (
+                key_, o.begin, ref_begins)
+    # recall: every with-text group position has a textless position near it
+    for key_, occs in ref_by.items():
+        tl_begins = sorted(o.begin for o in tl_by[key_])
+        for o in occs:
+            assert any(abs(o.begin - tb) <= max(tol, 2 * k) for tb in
+                       tl_begins), (key_, o.begin, tl_begins)
+
+
+def test_textless_index_bytes_scale_with_runs(rng):
+    """On a pan-genome the textless index is r-scaled: dropping text +
+    stride samples removes the n-scaled components."""
+    from columba_tpu.index.bmove import build_bmove_from_codes
+
+    unit = rng.integers(0, 4, size=1000).astype(np.uint8)
+    genome = np.tile(unit, 512)  # r ~ r(unit) + copies while n grows 512x
+    wt = build_bmove_from_codes(genome)
+    tl = build_bmove_from_codes(genome, textless=True)
+    size = lambda a: sum(
+        getattr(a, f).nbytes for f in
+        ("fused_fwd", "fused_rev", "text", "sa_stride", "phi_fwd",
+         "phi_rev"))
+    assert tl.text.nbytes == 0 and tl.sa_stride.nbytes == 0
+    # r << n here, so dropping the n-scaled parts shrinks the index; the
+    # remaining bytes are all r-scaled (fused run rows + phi pieces)
+    assert size(tl) < 0.8 * size(wt)
+    r = tl.meta["runs_fwd"]
+    n = len(genome)
+    assert r < n / 64

@@ -32,12 +32,16 @@ import time
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 COORD_PORT = 49741
-DEV_PER_PROC = 4
-READS_PER_HOST = 256
+# 2 virtual devices per host so the 2-host config still fits this box's 4
+# physical cores: with 4 devices/host the 2-host run would oversubscribe
+# CPU 2x and measure hardware contention, not orchestration overhead
+# (measured: efficiency 0.66 at 4 dev/host vs ~1.0 at 2 dev/host).
+DEV_PER_PROC = 2
+READS_PER_HOST = 2048
 M = 80
 K = 2
 WARMUP = 2
-STEPS = 8
+STEPS = 4
 
 
 def worker(n_hosts: int, proc_id: int) -> int:
