@@ -27,6 +27,7 @@ class Counters:
     in_text_started: int = 0
     aborted_in_text: int = 0
     cigars_computed: int = 0
+    lossless_retries: int = 0         # spill/overflow re-dispatches (4x grow)
     # paired-end
     total_unique_pairs: int = 0
     mapped_pairs: int = 0
@@ -40,6 +41,7 @@ class Counters:
         self.in_text_started += stats.get("itv_started", 0)
         self.search_started += stats.get("searches_started", 0)
         self.aborted_in_text += stats.get("aborted_in_text", 0)
+        self.lossless_retries += stats.get("retries", 0)
         if stats.get("locate_truncated"):
             # reachable with an explicit (non-auto) max_locate, or when the
             # auto-sized path exhausts its 3 lossless growth retries in
@@ -118,3 +120,6 @@ class Counters:
             f"Searches started (band-phase frontier lanes; batched proxy, "
             f"excludes immediate switches) : {self.search_started}")
         logger.verbose_msg(f"CIGAR strings computed: {self.cigars_computed}")
+        logger.verbose_msg(
+            f"Lossless spill retries (4x re-dispatches): "
+            f"{self.lossless_retries}")

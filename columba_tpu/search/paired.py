@@ -230,18 +230,22 @@ def map_pairs_best_start(
     kmer_table=None,
     counters=None,
 ):
-    """Dispatch PE BEST(+x): single-pass — both sides mapped once at their
-    full cutoffs with ALL semantics, pairing done array-native in finish.
+    """Dispatch PE BEST(+x): escalating array-paired rungs.
 
     The union of the reference's total-distance strata IS the set of pairs
     with per-side distances <= (cut1, cut2); filtering that union to
     [best_total, best_total + x] per read reproduces the stratified
     ladder's output (same argument as SE single-pass BEST,
-    strategy.map_batch_best_start). The ladder
-    (src/searchstrategy.cpp:1091-1179) exists because the reference's
-    per-read DFS cost explodes with k; the batched engine's does not, and
-    one full-batch pass per side beats many compacted stratum rounds.
-    Deep cutoffs (> 6) keep the ladder via map_pairs_best."""
+    strategy.map_batch_best_start). But ONE pass at the full cutoffs pays
+    k=5-grade device work for every pair when almost all pairs resolve at
+    distance <= 2 (measured: 0.15x of one reference thread, r4 matrix) —
+    so the pass escalates: rung cuts (0,0) -> (2,2) -> (cut1,cut2), each
+    rung re-dispatching only the reads whose best window is not yet
+    complete. A read is final after a rung with side cuts (c1,c2) iff
+    best_total + x < min(c1,c2) + 1: any pair the rung missed has a side
+    > c (so total >= min(c1,c2)+1), mirroring the stratum early-exit of
+    the reference (src/searchstrategy.cpp:1091-1179). Deep cutoffs (> 6)
+    keep the per-stratum budget ladder via map_pairs_best."""
     R, m1 = reads1.shape
     _, m2 = reads2.shape
     cut1 = strategy.best_cutoff_for(cfg, m1)
@@ -250,18 +254,23 @@ def map_pairs_best_start(
         return dict(mode="ladder",
                     mapped=map_pairs_best(index, reads1, reads2, cfg, pcfg,
                                           seq_starts, kmer_table, counters))
-    ctx1 = pipeline.match_all_start(
-        index, reads1, strategy._scheme_for(cfg, cut1), metric=cfg.metric,
-        capacity=cfg.capacity, max_locate=cfg.max_locate,
-        kmer_table=kmer_table, partitioning=cfg.partitioning,
-        switchpoint=cfg.switchpoint)
-    ctx2 = pipeline.match_all_start(
-        index, reads2, strategy._scheme_for(cfg, cut2), metric=cfg.metric,
-        capacity=cfg.capacity, max_locate=cfg.max_locate,
-        kmer_table=kmer_table, partitioning=cfg.partitioning,
-        switchpoint=cfg.switchpoint)
+    rungs = [(min(c, cut1), min(c, cut2)) for c in (0, 2)
+             if c < min(cut1, cut2)]
+    rungs.append((cut1, cut2))
+    c1, c2 = rungs[0]
+    ctx1 = _dispatch_side(index, reads1, c1, cfg, kmer_table)
+    ctx2 = _dispatch_side(index, reads2, c2, cfg, kmer_table)
     return dict(mode="single", ctx1=ctx1, ctx2=ctx2, cut1=cut1, cut2=cut2,
-                reads1=reads1, reads2=reads2)
+                rungs=rungs, reads1=reads1, reads2=reads2,
+                kmer_table=kmer_table, index=index)
+
+
+def _dispatch_side(index, reads, cut, cfg, kmer_table):
+    return pipeline.match_all_start(
+        index, reads, strategy._scheme_for(cfg, cut), metric=cfg.metric,
+        capacity=cfg.capacity, max_locate=cfg.max_locate,
+        kmer_table=kmer_table, partitioning=cfg.partitioning,
+        switchpoint=cfg.switchpoint)
 
 
 def map_pairs_best_finish(
@@ -271,86 +280,140 @@ def map_pairs_best_finish(
     seq_starts: np.ndarray,
     counters=None,
 ) -> list[MappedPair]:
-    """Fetch + array-pair a dispatched PE BEST batch -> MappedPair list
-    (pair objects built only for the emitted records)."""
+    """Fetch + array-pair a dispatched PE BEST batch -> MappedPair list,
+    escalating unresolved reads through the remaining rungs (pair objects
+    built only for the emitted records)."""
     if handle["mode"] == "ladder":
         return handle["mapped"]
     from columba_tpu.search import pairing
 
     reads1, reads2 = handle["reads1"], handle["reads2"]
     cut1, cut2 = handle["cut1"], handle["cut2"]
+    rungs = handle["rungs"]
     R = len(reads1)
     x = int(cfg.best_plus_x)
     tot_cut = cut1 + cut2
-    occs = []
-    for ctx, reads, cut in ((handle["ctx1"], reads1, cut1),
-                            (handle["ctx2"], reads2, cut2)):
-        occ, stats = pipeline.match_all_finish(ctx)
-        if counters is not None:
-            counters.add_device_stats(stats)
-        if cfg.arrays is not None:
-            kbs = cut if cfg.metric == "edit" else 0
-            occ = pipeline.apply_boundary_trim(occ, reads, cfg.arrays,
-                                               kbs, cut)
-        occs.append(occ)
-    occ1, occ2 = occs
-    cand = pairing.concordant_pairs(occ1, occ2, pcfg.orientation,
-                                    pcfg.min_insert, pcfg.max_insert,
-                                    seq_starts)
-    kept, best = pairing.best_filter(cand, R, tot_cut, x)
-    return _rows_to_mapped(kept, best, occ1, occ2, R, tot_cut, x, pcfg)
-
-
-def _rows_to_mapped(kept, best, occ1, occ2, R, tot_cut, x,
-                    pcfg: PairedConfig) -> list[MappedPair]:
-    """Kept PairRows (+ full-depth side OccArrays for the fallbacks) ->
-    per-read MappedPair objects; discordant/unpaired handling per pairless
-    read mirrors the ladder path (the sides are already mapped to their
-    full cutoffs here)."""
+    sub_ids = np.arange(R)
+    pr1, pr2 = reads1, reads2     # dispatched (possibly padded) reads
+    ctx1, ctx2 = handle["ctx1"], handle["ctx2"]
     out = [MappedPair() for _ in range(R)]
-    if len(kept):
-        bounds = np.searchsorted(kept.pair_id, np.arange(R + 1))
-        for i in range(R):
-            b0, b1 = int(bounds[i]), int(bounds[i + 1])
-            if b0 == b1:
-                continue
-            prs = out[i].pairs
-            for j in range(b0, b1):
-                prs.append(PairedOcc(
-                    pipeline.Occurrence(i, int(kept.u_strand[j]),
-                                        int(kept.u_begin[j]),
-                                        int(kept.u_end[j]),
-                                        int(kept.u_dist[j])),
-                    pipeline.Occurrence(i, int(kept.d_strand[j]),
-                                        int(kept.d_begin[j]),
-                                        int(kept.d_end[j]),
-                                        int(kept.d_dist[j])),
-                    bool(kept.up_is_1[j])))
-    pairless = np.nonzero(best > tot_cut)[0]
-    if len(pairless):
-        sel = np.zeros(R, dtype=bool)
-        sel[pairless] = True
-        sub1 = occ1.take(sel[occ1.read_id])
-        sub2 = occ2.take(sel[occ2.read_id])
-        per1 = {int(i): [[], []] for i in pairless}
-        per2 = {int(i): [[], []] for i in pairless}
-        for o in sub1:
-            per1[o.read_id][o.strand].append(o)
-        for o in sub2:
-            per2[o.read_id][o.strand].append(o)
-        for i in (int(v) for v in pairless):
-            mp = out[i]
-            if pcfg.discordant:
-                mp.discordant = _pair_discordantly_best(
-                    per1[i], per2[i], x, pcfg.max_discordant)
-            if not mp.discordant:
-                for occs_i, dst in ((per1[i][0] + per1[i][1], "unpaired1"),
-                                    (per2[i][0] + per2[i][1], "unpaired2")):
-                    if occs_i:
-                        b = min(o.distance for o in occs_i)
-                        setattr(mp, dst,
-                                [o for o in occs_i if o.distance <= b + x])
+    final_rows: list = []
+    for ri, (c1, c2) in enumerate(rungs):
+        occs = []
+        for ctx, reads, cut in ((ctx1, pr1, c1), (ctx2, pr2, c2)):
+            occ, stats = pipeline.match_all_finish(ctx)
+            if counters is not None:
+                counters.add_device_stats(stats)
+            if cfg.arrays is not None and cut > 0:
+                kbs = cut if cfg.metric == "edit" else 0
+                occ = pipeline.apply_boundary_trim(occ, reads, cfg.arrays,
+                                                   kbs, cut)
+            if len(reads) > len(sub_ids):     # drop pad-lane occurrences
+                occ = occ.take(occ.read_id < len(sub_ids))
+            occs.append(occ)
+        occ1, occ2 = occs
+        cand = pairing.concordant_pairs(occ1, occ2, pcfg.orientation,
+                                        pcfg.min_insert, pcfg.max_insert,
+                                        seq_starts)
+        kept, best = pairing.best_filter(cand, len(sub_ids), tot_cut, x)
+        last = ri == len(rungs) - 1
+        if last:
+            final = np.ones(len(sub_ids), dtype=bool)
+        else:
+            final = (best + x) < min(c1, c2) + 1
+        if len(kept):
+            rows = kept.take(final[kept.pair_id])
+            rows.pair_id = sub_ids[rows.pair_id]
+            final_rows.append(rows)
+        if last:
+            _fill_pairless(out, sub_ids, best, occ1, occ2, tot_cut, x,
+                           pcfg)
+            break
+        esc = np.nonzero(~final)[0]
+        if not len(esc):
+            break
+        sub_ids = sub_ids[esc]
+        c1n, c2n = rungs[ri + 1]
+        # pad to a power-of-two lane count: each distinct batch shape is a
+        # separate jit trace, so free-form subset sizes would recompile
+        # every batch; pow2 buckets cap the variants at log2(R)
+        pr1 = _pad_pow2(reads1[sub_ids])
+        pr2 = _pad_pow2(reads2[sub_ids])
+        ctx1 = _dispatch_side(handle["index"], pr1, c1n, cfg,
+                              handle["kmer_table"])
+        ctx2 = _dispatch_side(handle["index"], pr2, c2n, cfg,
+                              handle["kmer_table"])
+    kept_all = pairing.sort_pairs(pairing.PairRows.concat(final_rows))
+    _fill_paired(out, kept_all, R)
     return out
+
+
+def _pad_pow2(reads: np.ndarray, floor: int = 512) -> np.ndarray:
+    """Pad a read sub-batch to a power-of-two row count (>= floor) by
+    repeating row 0; pad-lane results are dropped by read_id filter."""
+    n = len(reads)
+    P = max(floor, 1 << (n - 1).bit_length())
+    if P == n:
+        return reads
+    return np.concatenate([reads, np.repeat(reads[:1], P - n, axis=0)])
+
+
+def _fill_paired(out: list, kept, R: int) -> None:
+    """Write kept PairRows (sorted by pair_id) into out[...].pairs."""
+    if not len(kept):
+        return
+    bounds = np.searchsorted(kept.pair_id, np.arange(R + 1))
+    for i in range(R):
+        b0, b1 = int(bounds[i]), int(bounds[i + 1])
+        if b0 == b1:
+            continue
+        prs = out[i].pairs
+        for j in range(b0, b1):
+            prs.append(PairedOcc(
+                pipeline.Occurrence(i, int(kept.u_strand[j]),
+                                    int(kept.u_begin[j]),
+                                    int(kept.u_end[j]),
+                                    int(kept.u_dist[j])),
+                pipeline.Occurrence(i, int(kept.d_strand[j]),
+                                    int(kept.d_begin[j]),
+                                    int(kept.d_end[j]),
+                                    int(kept.d_dist[j])),
+                bool(kept.up_is_1[j])))
+
+
+def _fill_pairless(out: list, sub_ids: np.ndarray, best: np.ndarray,
+                   occ1, occ2, tot_cut: int, x: int,
+                   pcfg: PairedConfig) -> None:
+    """Discordant/unpaired fallbacks for reads with no concordant pair,
+    mirroring the ladder path. occ1/occ2 carry subset-local read ids
+    (rows of sub_ids); the sides are already mapped to their full cutoffs
+    when this runs (last rung)."""
+    pairless = np.nonzero(best > tot_cut)[0]
+    if not len(pairless):
+        return
+    nsub = len(sub_ids)
+    sel = np.zeros(nsub, dtype=bool)
+    sel[pairless] = True
+    sub1 = occ1.take(sel[occ1.read_id])
+    sub2 = occ2.take(sel[occ2.read_id])
+    per1 = {int(i): [[], []] for i in pairless}
+    per2 = {int(i): [[], []] for i in pairless}
+    for o in sub1:
+        per1[o.read_id][o.strand].append(o)
+    for o in sub2:
+        per2[o.read_id][o.strand].append(o)
+    for i in (int(v) for v in pairless):
+        mp = out[int(sub_ids[i])]
+        if pcfg.discordant:
+            mp.discordant = _pair_discordantly_best(
+                per1[i], per2[i], x, pcfg.max_discordant)
+        if not mp.discordant:
+            for occs_i, dst in ((per1[i][0] + per1[i][1], "unpaired1"),
+                                (per2[i][0] + per2[i][1], "unpaired2")):
+                if occs_i:
+                    b = min(o.distance for o in occs_i)
+                    setattr(mp, dst,
+                            [o for o in occs_i if o.distance <= b + x])
 
 
 def map_pairs_best(

@@ -648,6 +648,7 @@ def match_all_finish(ctx) -> tuple[OccArray, dict]:
         return ctx["result"]
     out = fetch_tree(ctx["out"])
     cap, ecap, ml = ctx["capacity"], ctx["ex_cap"], ctx["max_locate"]
+    n_retries = 0
     for _ in range(3):
         # lossless retries: frontier/compaction overflow -> 4x capacities;
         # locate/verify spill (stage_expand or stage_dedup truncated) ->
@@ -662,6 +663,7 @@ def match_all_finish(ctx) -> tuple[OccArray, dict]:
             cap, ecap = cap * 4, ecap * 4
         if grow_ml:
             ml *= 4
+        n_retries += 1
         out = fetch_tree(ctx["run"](cap, ecap, ml))
     R, m, k, kb = ctx["R"], ctx["m"], ctx["k"], ctx["kb"]
     max_locate = ml
@@ -676,6 +678,7 @@ def match_all_finish(ctx) -> tuple[OccArray, dict]:
         itv_started=int(out["itv_started"]),
         searches_started=int(out["searches_started"]),
         aborted_in_text=aborted,
+        retries=n_retries,
         locate_truncated=bool(out["total"] > max_locate)
         or bool(out["n_unique"] > max_locate),
     )
