@@ -448,6 +448,12 @@ def match_all(*args, **kwargs) -> tuple["OccArray", dict]:
     return match_all_finish(match_all_start(*args, **kwargs))
 
 
+# adaptive locate-cap hint: batches in auto mode start at the largest cap
+# any earlier batch of this process had to grow to (lossless either way —
+# this only skips predictable 4x-retry round trips + recompiles)
+_ML_HINT = [0]
+
+
 def match_all_start(
     index: FMIndex,
     reads_codes: np.ndarray,
@@ -510,7 +516,12 @@ def match_all_start(
     # in match_all_finish.
     auto_locate = max_locate is None
     if auto_locate:
-        max_locate = max(1 << 16, 4 * batch.shape[0])
+        # warm-start from the largest cap a previous batch grew to: on
+        # repeat-rich genomes (pan workload: every locus ~20x) the 4x
+        # spill-retry loop otherwise re-runs AND re-compiles (capacity is
+        # a static jit arg) for every batch — measured minutes of compile
+        # per run on the 20x pan genome before this hint existed
+        max_locate = max(1 << 16, 4 * batch.shape[0], _ML_HINT[0])
 
     if k == 0:
         occs_stats = _match_exact(index, batch_dev, R, max_locate)
@@ -518,8 +529,10 @@ def match_all_start(
         while (auto_locate and occs_stats[1]["locate_truncated"]
                and tries < 3):
             max_locate *= 4
+            _ML_HINT[0] = max(_ML_HINT[0], max_locate)
             occs_stats = _match_exact(index, batch_dev, R, max_locate)
             tries += 1
+        occs_stats[1]["retries"] = tries
         return dict(result=occs_stats)
 
     from columba_tpu.index.kmer import table_k
@@ -663,6 +676,7 @@ def match_all_finish(ctx) -> tuple[OccArray, dict]:
             cap, ecap = cap * 4, ecap * 4
         if grow_ml:
             ml *= 4
+            _ML_HINT[0] = max(_ML_HINT[0], ml)
         n_retries += 1
         out = fetch_tree(ctx["run"](cap, ecap, ml))
     R, m, k, kb = ctx["R"], ctx["m"], ctx["k"], ctx["kb"]
