@@ -752,8 +752,14 @@ def _align_paired(args, arrays, index, cfg, kmer_table):
     out_q: _queue.Queue = _queue.Queue(maxsize=2)
     errors: list = []
 
+    from columba_tpu.index.build import decoded_text
+    from columba_tpu.io import emit
+
+    genome = decoded_text(arrays)
+
     def _writer(out):
         try:
+            use_native = emit.pe_available()
             while True:
                 item = out_q.get()
                 if item is None:
@@ -767,17 +773,23 @@ def _align_paired(args, arrays, index, cfg, kmer_table):
                            and (len(recs1[j].codes),
                                 len(recs2[j].codes)) == key):
                         j += 1
-                    out.writelines(paired.emit_sam_paired(
+                    data = (emit.emit_sam_pe_native(
                         recs1[i:j], recs2[i:j], mapped_all[i:j], arrays,
-                        kb_of[key], counters=ctrs))
+                        genome, kb_of[key], counters=ctrs)
+                        if use_native else None)
+                    if data is None:
+                        data = "".join(paired.emit_sam_paired(
+                            recs1[i:j], recs2[i:j], mapped_all[i:j],
+                            arrays, kb_of[key], counters=ctrs)).encode()
+                    out.write(data)
                     i = j
         except BaseException as e:
             errors.append(e)
             while out_q.get() is not None:
                 pass
 
-    with open(args.output, "w") as out:
-        out.write(sam.header(arrays.seq_names, seq_lengths))
+    with open(args.output, "wb") as out:
+        out.write(sam.header(arrays.seq_names, seq_lengths).encode())
         wrt = threading.Thread(target=_writer, args=(out,), daemon=True)
         wrt.start()
         for recs1, recs2 in itertools.chain(pending, chunks):

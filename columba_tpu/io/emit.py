@@ -50,6 +50,28 @@ def _lib():
                 ctypes.c_int32,                                   # n_threads
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,  # out
             ]
+            if hasattr(lib, "emit_sam_pe"):
+                lib.emit_sam_pe.restype = ctypes.c_int64
+                lib.emit_sam_pe.argtypes = [
+                    ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,  # codes1
+                    ctypes.c_void_p, ctypes.c_int32,                  # codes2
+                    ctypes.c_void_p, ctypes.c_void_p,                 # names1
+                    ctypes.c_void_p, ctypes.c_void_p,                 # quals1
+                    ctypes.c_void_p, ctypes.c_void_p,                 # names2
+                    ctypes.c_void_p, ctypes.c_void_p,                 # quals2
+                    ctypes.c_void_p,                                  # pair_off
+                    ctypes.c_void_p, ctypes.c_void_p,                 # end1/s1
+                    ctypes.c_void_p, ctypes.c_void_p,                 # end2/s2
+                    ctypes.c_void_p, ctypes.c_void_p,                 # tlen/mq
+                    ctypes.c_void_p,                                  # proper
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # u1
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # u2
+                    ctypes.c_void_p, ctypes.c_int64,                  # text
+                    ctypes.c_void_p, ctypes.c_int32,                  # starts
+                    ctypes.c_void_p, ctypes.c_void_p,                 # seqnames
+                    ctypes.c_int32, ctypes.c_int32,                   # kb/thr
+                    ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,  # out
+                ]
         _LIB = lib
     return _LIB
 
@@ -174,3 +196,127 @@ def emit_sam_native(
             return out.raw[:n]
         cap = -n + 1024
     raise RuntimeError("emit_sam_se: buffer sizing failed twice")
+
+
+def pe_available() -> bool:
+    lib = _lib()
+    return lib is not None and hasattr(lib, "emit_sam_pe")
+
+
+def pe_soa_from_mapped(mapped) -> dict:
+    """MappedPair list -> SoA arrays for the native PE emitter.
+
+    Candidate order, truncation (100/read) and MAPQ semantics mirror
+    paired.emit_sam_paired exactly (reference PE SAM generation:
+    src/searchstrategy.cpp:1904-1980); only the traceback + string
+    assembly moves to native code.
+    """
+    from columba_tpu.io import sam
+
+    R = len(mapped)
+    pair_off = np.zeros(R + 1, dtype=np.int64)
+    end1, st1, end2, st2, tlen1, mqv = [], [], [], [], [], []
+    proper = np.zeros(R, dtype=np.uint8)
+    u_end = [np.full(R, -1, dtype=np.int64), np.full(R, -1, dtype=np.int64)]
+    u_st = [np.zeros(R, dtype=np.uint8), np.zeros(R, dtype=np.uint8)]
+    u_mq = [np.zeros(R, dtype=np.int32), np.zeros(R, dtype=np.int32)]
+    for i, mp in enumerate(mapped):
+        cands = mp.pairs or mp.discordant
+        if cands:
+            cands = sorted(cands,
+                           key=lambda p: (p.total_distance, p.up.begin))
+            proper[i] = 1 if mp.pairs else 0
+            best = cands[0].total_distance
+            n_best = sum(1 for p in cands if p.total_distance == best)
+            mq = sam.mapq(n_best)
+            for p in cands[:100]:
+                o1 = p.up if p.up_is_read1 else p.down
+                o2 = p.down if p.up_is_read1 else p.up
+                end1.append(o1.end)
+                st1.append(o1.strand)
+                end2.append(o2.end)
+                st2.append(o2.strand)
+                t = p.down.end - p.up.begin
+                tlen1.append(t if o1.begin <= o2.begin else -t)
+                mqv.append(mq if p.total_distance == best else 0)
+            pair_off[i + 1] = pair_off[i] + min(len(cands), 100)
+        else:
+            pair_off[i + 1] = pair_off[i]
+            for side, occs in enumerate((mp.unpaired1, mp.unpaired2)):
+                if occs:
+                    o = min(occs, key=lambda o: (o.distance, o.begin))
+                    u_end[side][i] = o.end
+                    u_st[side][i] = o.strand
+                    u_mq[side][i] = sam.mapq(
+                        sum(1 for t in occs if t.distance == o.distance))
+    return dict(
+        pair_off=pair_off,
+        end1=np.array(end1, dtype=np.int64),
+        st1=np.array(st1, dtype=np.uint8),
+        end2=np.array(end2, dtype=np.int64),
+        st2=np.array(st2, dtype=np.uint8),
+        tlen1=np.array(tlen1, dtype=np.int64),
+        mq=np.array(mqv, dtype=np.int32),
+        proper=proper,
+        u_end1=u_end[0], u_st1=u_st[0], u_mq1=u_mq[0],
+        u_end2=u_end[1], u_st2=u_st[1], u_mq2=u_mq[1],
+    )
+
+
+def emit_sam_pe_native(
+    recs1, recs2, mapped, arrays, genome: np.ndarray, kb: int,
+    n_threads: int = 3, counters=None,
+) -> bytes | None:
+    """Emit one same-shape run of PE SAM records natively; None if the
+    native lib is unavailable (caller falls back to the Python emitter)."""
+    lib = _lib()
+    if lib is None or not hasattr(lib, "emit_sam_pe"):
+        return None
+    codes1 = np.ascontiguousarray(np.stack([r.codes for r in recs1]),
+                                  dtype=np.uint8)
+    codes2 = np.ascontiguousarray(np.stack([r.codes for r in recs2]),
+                                  dtype=np.uint8)
+    R, m1 = codes1.shape
+    m2 = codes2.shape[1]
+    names1, n1off = pack_strings([r.name for r in recs1])
+    quals1, q1off = pack_strings([r.qual for r in recs1])
+    names2, n2off = pack_strings([r.name for r in recs2])
+    quals2, q2off = pack_strings([r.qual for r in recs2])
+    soa = pe_soa_from_mapped(mapped)
+    sn = seqname_cache(arrays)
+    P = len(soa["end1"])
+    mmax = max(m1, m2)
+    line = 4 * (mmax + kb) + 64 + 96
+    cap = ((2 * P + 2 * R) * line + len(names1) + len(names2)
+           + (2 * P + 2 * R) * max(
+               int((n1off[1:] - n1off[:-1]).max(initial=0)),
+               int((n2off[1:] - n2off[:-1]).max(initial=0)))
+           + 4096)
+    stats = np.zeros(4, dtype=np.int64)
+    for _ in range(2):
+        out = ctypes.create_string_buffer(cap)
+        n = lib.emit_sam_pe(
+            codes1.ctypes.data, R, m1, codes2.ctypes.data, m2,
+            names1, n1off.ctypes.data, quals1, q1off.ctypes.data,
+            names2, n2off.ctypes.data, quals2, q2off.ctypes.data,
+            soa["pair_off"].ctypes.data,
+            soa["end1"].ctypes.data, soa["st1"].ctypes.data,
+            soa["end2"].ctypes.data, soa["st2"].ctypes.data,
+            soa["tlen1"].ctypes.data, soa["mq"].ctypes.data,
+            soa["proper"].ctypes.data,
+            soa["u_end1"].ctypes.data, soa["u_st1"].ctypes.data,
+            soa["u_mq1"].ctypes.data,
+            soa["u_end2"].ctypes.data, soa["u_st2"].ctypes.data,
+            soa["u_mq2"].ctypes.data,
+            genome.ctypes.data, genome.shape[0],
+            sn.starts.ctypes.data, sn.n_seqs,
+            sn.buf, sn.offs.ctypes.data,
+            int(kb), int(n_threads),
+            out, cap, stats.ctypes.data,
+        )
+        if n >= 0:
+            if counters is not None:
+                counters.cigars_computed += int(stats[0])
+            return out.raw[:n]
+        cap = -n + 1024
+    raise RuntimeError("emit_sam_pe: buffer sizing failed twice")

@@ -455,6 +455,238 @@ void emit_range(const Ctx& cx, int32_t r0, int32_t r1, std::string& out,
   *cigars_done = n_cigars;
 }
 
+// ------------------------- paired-end emission -------------------------
+//
+// PE SAM records (the analogue of the reference's per-worker PE output,
+// src/searchstrategy.cpp:1904-1980 + src/indexhelpers.cpp:56-260): the
+// caller ships candidate pairs as struct-of-arrays already in emission
+// order (sorted per read by (total_distance, upstream begin), truncated
+// to 100) plus per-read unpaired/unmapped fallbacks; this side runs the
+// tracebacks (deduped per read-side) and formats both mates' lines.
+// Parity contract: byte-identical to paired.emit_sam_paired (fuzzed by
+// tests/test_emit_native.py).
+
+struct PECtx {
+  const uint8_t* codes1; int32_t n_reads; int32_t m1;
+  const uint8_t* codes2; int32_t m2;
+  const char* names1; const int64_t* name1_offs;
+  const char* quals1; const int64_t* qual1_offs;
+  const char* names2; const int64_t* name2_offs;
+  const char* quals2; const int64_t* qual2_offs;
+  const int64_t* pair_off;
+  const int64_t* p_end1; const uint8_t* p_strand1;
+  const int64_t* p_end2; const uint8_t* p_strand2;
+  const int64_t* p_tlen1; const int32_t* p_mq;
+  const uint8_t* r_proper;
+  const int64_t* u_end1; const uint8_t* u_strand1; const int32_t* u_mq1;
+  const int64_t* u_end2; const uint8_t* u_strand2; const int32_t* u_mq2;
+  const uint8_t* text; int64_t text_n;
+  const int64_t* seq_starts; int32_t n_seqs;
+  const char* seqnames; const int64_t* seqname_offs;
+  int32_t kb;
+};
+
+inline int32_t pe_seq_index(const PECtx& cx, int64_t pos) {
+  const int64_t* s = cx.seq_starts;
+  int32_t lo = 0, hi = cx.n_seqs + 1;
+  while (lo < hi) {
+    int32_t mid = (lo + hi) / 2;
+    if (s[mid] <= pos) lo = mid + 1; else hi = mid;
+  }
+  int32_t idx = lo - 1;
+  if (idx < 0) idx = 0;
+  if (idx > cx.n_seqs - 1) idx = cx.n_seqs - 1;
+  return idx;
+}
+
+// Per-read traceback cache for one side: the same occurrence can appear
+// in several candidate pairs (Python dedups by object identity; (end,
+// strand) is a superset key with identical results).
+struct TBCache {
+  struct Entry { int64_t end; uint8_t strand; TB tb; int32_t sidx; int64_t pos1; };
+  std::vector<Entry> entries;
+  void clear() { entries.clear(); }
+};
+
+struct PESide {
+  const uint8_t* fwd;           // forward codes of this read
+  int m;
+  std::vector<uint8_t>* rc;     // lazily filled rev-comp buffer
+  bool* have_rc;
+  const char* qual; int qual_len;
+};
+
+const TBCache::Entry& pe_trace(const PECtx& cx, const PESide& side,
+                               int64_t end, uint8_t strand, TBCache& cache,
+                               Scratch& sc, int64_t* n_cigars) {
+  for (const auto& e : cache.entries)
+    if (e.end == end && e.strand == strand) return e;
+  const uint8_t* pat = side.fwd;
+  if (strand) {
+    if (!*side.have_rc) {
+      for (int i = 0; i < side.m; ++i) {
+        uint8_t c = side.fwd[side.m - 1 - i];
+        (*side.rc)[i] = c < 4 ? (uint8_t)(3 - c) : c;
+      }
+      *side.have_rc = true;
+    }
+    pat = side.rc->data();
+  }
+  const int64_t s_lo = cx.seq_starts[pe_seq_index(cx, end - 1)];
+  int64_t w_lo = end - side.m - cx.kb;
+  if (s_lo > w_lo) w_lo = s_lo;
+  cache.entries.emplace_back();
+  TBCache::Entry& e = cache.entries.back();
+  e.end = end; e.strand = strand;
+  run_traceback(pat, side.m, cx.text, w_lo, end, cx.kb, sc, e.tb);
+  ++*n_cigars;
+  e.sidx = pe_seq_index(cx, e.tb.begin);
+  e.pos1 = e.tb.begin - cx.seq_starts[e.sidx] + 1;
+  return e;
+}
+
+// one full SAM line for one mate of a pair (mate rname always '=',
+// mirroring the Python emitter)
+void pe_pair_line(const PECtx& cx, std::string& out,
+                  const char* name, int name_len,
+                  int flag, const TBCache::Entry& e, int mq,
+                  int64_t mate_pos1, int64_t tlen,
+                  const PESide& side, std::string& qual_rev) {
+  out.append(name, name_len);
+  out.push_back('\t');
+  append_int(out, flag);
+  out.push_back('\t');
+  out.append(cx.seqnames + cx.seqname_offs[e.sidx],
+             cx.seqname_offs[e.sidx + 1] - cx.seqname_offs[e.sidx]);
+  out.push_back('\t');
+  append_int(out, e.pos1);
+  out.push_back('\t');
+  append_int(out, mq);
+  out.push_back('\t');
+  out.append(e.tb.cigar);
+  out.append("\t=\t");
+  append_int(out, mate_pos1);
+  out.push_back('\t');
+  append_int(out, tlen);
+  out.push_back('\t');
+  append_seq(out, e.strand ? side.rc->data() : side.fwd, side.m);
+  out.push_back('\t');
+  if (e.strand) {
+    qual_rev.assign(side.qual, side.qual_len);
+    std::reverse(qual_rev.begin(), qual_rev.end());
+    out.append(qual_rev);
+  } else {
+    out.append(side.qual, side.qual_len);
+  }
+  out.append("\tAS:i:");
+  append_int(out, e.tb.ed);
+  out.append("\tNM:i:");
+  append_int(out, e.tb.ed);
+  out.append("\tPG:Z:Columba\n");
+}
+
+void emit_pe_range(const PECtx& cx, int32_t r0, int32_t r1,
+                   std::string& out, int64_t* cigars_done) {
+  Scratch sc;
+  std::vector<uint8_t> rc1(cx.m1), rc2(cx.m2);
+  TBCache cache1, cache2;
+  int64_t n_cigars = 0;
+  std::string qual_rev;
+  for (int32_t r = r0; r < r1; ++r) {
+    const char* name1 = cx.names1 + cx.name1_offs[r];
+    const int name1_len = (int)(cx.name1_offs[r + 1] - cx.name1_offs[r]);
+    const char* name2 = cx.names2 + cx.name2_offs[r];
+    const int name2_len = (int)(cx.name2_offs[r + 1] - cx.name2_offs[r]);
+    bool have_rc1 = false, have_rc2 = false;
+    PESide side1{cx.codes1 + (size_t)r * cx.m1, cx.m1, &rc1, &have_rc1,
+                 cx.quals1 + cx.qual1_offs[r],
+                 (int)(cx.qual1_offs[r + 1] - cx.qual1_offs[r])};
+    PESide side2{cx.codes2 + (size_t)r * cx.m2, cx.m2, &rc2, &have_rc2,
+                 cx.quals2 + cx.qual2_offs[r],
+                 (int)(cx.qual2_offs[r + 1] - cx.qual2_offs[r])};
+    const int64_t P0 = cx.pair_off[r], P1 = cx.pair_off[r + 1];
+    if (P1 > P0) {
+      cache1.clear(); cache2.clear();
+      const int base = 0x1 | (cx.r_proper[r] ? 0x2 : 0);
+      for (int64_t i = P0; i < P1; ++i) {
+        const uint8_t s1 = cx.p_strand1[i], s2 = cx.p_strand2[i];
+        const TBCache::Entry& e1 = pe_trace(cx, side1, cx.p_end1[i], s1,
+                                            cache1, sc, &n_cigars);
+        const TBCache::Entry& e2 = pe_trace(cx, side2, cx.p_end2[i], s2,
+                                            cache2, sc, &n_cigars);
+        const int sec = i > P0 ? 0x100 : 0;
+        const int f1 = base | 0x40 | sec | (s1 ? 0x10 : 0) | (s2 ? 0x20 : 0);
+        const int f2 = base | 0x80 | sec | (s2 ? 0x10 : 0) | (s1 ? 0x20 : 0);
+        const int mq = cx.p_mq[i];
+        const int64_t t1 = cx.p_tlen1[i];
+        pe_pair_line(cx, out, name1, name1_len, f1, e1, mq, e2.pos1, t1,
+                     side1, qual_rev);
+        pe_pair_line(cx, out, name2, name2_len, f2, e2, mq, e1.pos1,
+                     t1 == 0 ? 0 : -t1, side2, qual_rev);
+      }
+      continue;
+    }
+    // unpaired / unmapped per side (mate-unmapped bit always set,
+    // mirroring the Python emitter's 0x8)
+    struct USide { int fbit; int64_t end; uint8_t strand; int32_t mq;
+                   PESide* side; TBCache* cache; const char* name;
+                   int name_len; };
+    USide us[2] = {
+        {0x40, cx.u_end1[r], cx.u_strand1[r], cx.u_mq1[r], &side1, &cache1,
+         name1, name1_len},
+        {0x80, cx.u_end2[r], cx.u_strand2[r], cx.u_mq2[r], &side2, &cache2,
+         name2, name2_len},
+    };
+    for (const USide& u : us) {
+      if (u.end >= 0) {
+        u.cache->clear();
+        const TBCache::Entry& e = pe_trace(cx, *u.side, u.end, u.strand,
+                                           *u.cache, sc, &n_cigars);
+        const int flag = 0x1 | u.fbit | 0x8 | (u.strand ? 0x10 : 0);
+        out.append(u.name, u.name_len);
+        out.push_back('\t');
+        append_int(out, flag);
+        out.push_back('\t');
+        out.append(cx.seqnames + cx.seqname_offs[e.sidx],
+                   cx.seqname_offs[e.sidx + 1] - cx.seqname_offs[e.sidx]);
+        out.push_back('\t');
+        append_int(out, e.pos1);
+        out.push_back('\t');
+        append_int(out, u.mq);
+        out.push_back('\t');
+        out.append(e.tb.cigar);
+        out.append("\t*\t0\t0\t");
+        append_seq(out, e.strand ? u.side->rc->data() : u.side->fwd,
+                   u.side->m);
+        out.push_back('\t');
+        if (e.strand) {
+          qual_rev.assign(u.side->qual, u.side->qual_len);
+          std::reverse(qual_rev.begin(), qual_rev.end());
+          out.append(qual_rev);
+        } else {
+          out.append(u.side->qual, u.side->qual_len);
+        }
+        out.append("\tAS:i:");
+        append_int(out, e.tb.ed);
+        out.append("\tNM:i:");
+        append_int(out, e.tb.ed);
+        out.append("\tPG:Z:Columba\n");
+      } else {
+        const int flag = 0x1 | u.fbit | 0x4 | 0x8;
+        out.append(u.name, u.name_len);
+        out.push_back('\t');
+        append_int(out, flag);
+        out.append("\t*\t0\t0\t*\t*\t0\t0\t");
+        append_seq(out, u.side->fwd, u.side->m);
+        out.push_back('\t');
+        out.append(u.side->qual, u.side->qual_len);
+        out.append("\tPG:Z:Columba\n");
+      }
+    }
+  }
+  *cigars_done = n_cigars;
+}
+
 }  // namespace
 
 extern "C" {
@@ -492,6 +724,64 @@ int64_t emit_sam_se(
       int32_t r1 = std::min(n_reads, r0 + step);
       if (r0 >= r1) { continue; }
       th.emplace_back([&, i, r0, r1] { emit_range(cx, r0, r1, bufs[i], &cig[i]); });
+    }
+    for (auto& t : th) t.join();
+  }
+  int64_t total = 0;
+  for (auto& b : bufs) total += (int64_t)b.size();
+  for (auto c : cig) stats[0] += c;
+  if (total > out_cap) return -total;
+  char* p = out_buf;
+  for (auto& b : bufs) {
+    std::memcpy(p, b.data(), b.size());
+    p += b.size();
+  }
+  return total;
+}
+
+// Paired-end batch emission. Candidate pairs arrive as SoA in emission
+// order (grouped per read via pair_off); unpaired fallbacks per read per
+// side (u_end < 0 means unmapped record). Returns bytes written, or
+// -(needed) when out_cap is too small. stats[0] += tracebacks run.
+int64_t emit_sam_pe(
+    const uint8_t* codes1, int32_t n_reads, int32_t m1,
+    const uint8_t* codes2, int32_t m2,
+    const char* names1, const int64_t* name1_offs,
+    const char* quals1, const int64_t* qual1_offs,
+    const char* names2, const int64_t* name2_offs,
+    const char* quals2, const int64_t* qual2_offs,
+    const int64_t* pair_off,
+    const int64_t* p_end1, const uint8_t* p_strand1,
+    const int64_t* p_end2, const uint8_t* p_strand2,
+    const int64_t* p_tlen1, const int32_t* p_mq,
+    const uint8_t* r_proper,
+    const int64_t* u_end1, const uint8_t* u_strand1, const int32_t* u_mq1,
+    const int64_t* u_end2, const uint8_t* u_strand2, const int32_t* u_mq2,
+    const uint8_t* text, int64_t text_n,
+    const int64_t* seq_starts, int32_t n_seqs,
+    const char* seqnames, const int64_t* seqname_offs,
+    int32_t kb, int32_t n_threads,
+    char* out_buf, int64_t out_cap, int64_t* stats) {
+  PECtx cx{codes1, n_reads, m1, codes2, m2,
+           names1, name1_offs, quals1, qual1_offs,
+           names2, name2_offs, quals2, qual2_offs,
+           pair_off, p_end1, p_strand1, p_end2, p_strand2, p_tlen1, p_mq,
+           r_proper, u_end1, u_strand1, u_mq1, u_end2, u_strand2, u_mq2,
+           text, text_n, seq_starts, n_seqs, seqnames, seqname_offs, kb};
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > n_reads) n_threads = n_reads > 0 ? n_reads : 1;
+  std::vector<std::string> bufs(n_threads);
+  std::vector<int64_t> cig(n_threads, 0);
+  if (n_threads == 1) {
+    emit_pe_range(cx, 0, n_reads, bufs[0], &cig[0]);
+  } else {
+    std::vector<std::thread> th;
+    const int32_t step = (n_reads + n_threads - 1) / n_threads;
+    for (int i = 0; i < n_threads; ++i) {
+      int32_t r0 = i * step;
+      int32_t r1 = std::min(n_reads, r0 + step);
+      if (r0 >= r1) continue;
+      th.emplace_back([&, i, r0, r1] { emit_pe_range(cx, r0, r1, bufs[i], &cig[i]); });
     }
     for (auto& t : th) t.join();
   }

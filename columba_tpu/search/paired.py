@@ -300,14 +300,22 @@ def map_pairs_best_finish(
     final_rows: list = []
     for ri, (c1, c2) in enumerate(rungs):
         occs = []
-        for ctx, reads, cut in ((ctx1, pr1, c1), (ctx2, pr2, c2)):
+        # boundary trim runs at EVERY rung (incl. (0,0): kb=0 trim drops
+        # junction-crossing exact hits, mirroring the reference's no-trim
+        # rule src/indexinterface.cpp:829-832) and always with the FULL
+        # per-side cutoff, not the rung cut: trim's eligibility window and
+        # re-verify budget scale with k, so rung-invariant parameters make
+        # per-side trim results identical across rungs — the rung-finality
+        # proof (missed pair total >= min(c1,c2)+1) needs that invariance
+        for ctx, reads, full_cut in ((ctx1, pr1, cut1), (ctx2, pr2, cut2)):
             occ, stats = pipeline.match_all_finish(ctx)
             if counters is not None:
                 counters.add_device_stats(stats)
-            if cfg.arrays is not None and cut > 0:
-                kbs = cut if cfg.metric == "edit" else 0
+            if cfg.arrays is not None and not getattr(
+                    cfg.arrays, "textless", False):
+                kbs = full_cut if cfg.metric == "edit" else 0
                 occ = pipeline.apply_boundary_trim(occ, reads, cfg.arrays,
-                                                   kbs, cut)
+                                                   kbs, full_cut)
             if len(reads) > len(sub_ids):     # drop pad-lane occurrences
                 occ = occ.take(occ.read_id < len(sub_ids))
             occs.append(occ)
@@ -348,14 +356,7 @@ def map_pairs_best_finish(
     return out
 
 
-def _pad_pow2(reads: np.ndarray, floor: int = 512) -> np.ndarray:
-    """Pad a read sub-batch to a power-of-two row count (>= floor) by
-    repeating row 0; pad-lane results are dropped by read_id filter."""
-    n = len(reads)
-    P = max(floor, 1 << (n - 1).bit_length())
-    if P == n:
-        return reads
-    return np.concatenate([reads, np.repeat(reads[:1], P - n, axis=0)])
+_pad_pow2 = strategy._pad_pow2
 
 
 def _fill_paired(out: list, kept, R: int) -> None:

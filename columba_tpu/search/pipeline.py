@@ -449,9 +449,28 @@ def match_all(*args, **kwargs) -> tuple["OccArray", dict]:
 
 
 # adaptive locate-cap hint: batches in auto mode start at the largest cap
-# any earlier batch of this process had to grow to (lossless either way —
-# this only skips predictable 4x-retry round trips + recompiles)
-_ML_HINT = [0]
+# an earlier batch *of the same index* had to grow to (lossless either
+# way — this only skips predictable 4x-retry round trips + recompiles).
+# Keyed weakly per index so one repeat-rich workload (pan genome, ~20x
+# locate fan-out) does not permanently inflate device buffers and jit
+# variants for every other index aligned in the same long-lived process.
+import weakref
+
+_ML_HINT: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _ml_hint_get(index) -> int:
+    try:
+        return _ML_HINT.get(index, 0)
+    except TypeError:          # unhashable/unweakrefable index stand-ins
+        return 0
+
+
+def _ml_hint_bump(index, ml: int) -> None:
+    try:
+        _ML_HINT[index] = max(_ML_HINT.get(index, 0), ml)
+    except TypeError:
+        pass
 
 
 def match_all_start(
@@ -521,19 +540,19 @@ def match_all_start(
         # spill-retry loop otherwise re-runs AND re-compiles (capacity is
         # a static jit arg) for every batch — measured minutes of compile
         # per run on the 20x pan genome before this hint existed
-        max_locate = max(1 << 16, 4 * batch.shape[0], _ML_HINT[0])
+        max_locate = max(1 << 16, 4 * batch.shape[0], _ml_hint_get(index))
 
     if k == 0:
-        occs_stats = _match_exact(index, batch_dev, R, max_locate)
-        tries = 0
-        while (auto_locate and occs_stats[1]["locate_truncated"]
-               and tries < 3):
-            max_locate *= 4
-            _ML_HINT[0] = max(_ML_HINT[0], max_locate)
-            occs_stats = _match_exact(index, batch_dev, R, max_locate)
-            tries += 1
-        occs_stats[1]["retries"] = tries
-        return dict(result=occs_stats)
+        # async dispatch: the fetch (+ lossless spill retries) happens in
+        # match_all_finish, so a k=0 start does NOT block the dispatch
+        # thread on device completion — the BEST rung-0 pass and the PE
+        # rung-0 sides rely on this to pipeline with emission (measured:
+        # the synchronous fetch here serialized 2.1s of device wait into
+        # the PE dispatch thread per 50k-pair chunk)
+        out = _exact_device(index, batch_dev, int(max_locate))
+        return dict(exact=dict(out=out, batch=batch_dev, R=R,
+                               max_locate=max_locate,
+                               auto_locate=auto_locate, index=index))
 
     from columba_tpu.index.kmer import table_k
 
@@ -635,7 +654,7 @@ def match_all_start(
     out = run(capacity, ex_cap, max_locate)
     return dict(out=out, run=run, capacity=capacity, ex_cap=ex_cap,
                 auto_capacity=auto_capacity, auto_locate=auto_locate,
-                R=R, m=m, k=k, kb=kb,
+                R=R, m=m, k=k, kb=kb, index=index,
                 redundancy_filter=redundancy_filter, max_locate=max_locate)
 
 
@@ -659,6 +678,8 @@ def match_all_finish(ctx) -> tuple[OccArray, dict]:
     batch)."""
     if "result" in ctx:
         return ctx["result"]
+    if "exact" in ctx:
+        return _match_exact_finish(ctx["exact"])
     out = fetch_tree(ctx["out"])
     cap, ecap, ml = ctx["capacity"], ctx["ex_cap"], ctx["max_locate"]
     n_retries = 0
@@ -676,7 +697,7 @@ def match_all_finish(ctx) -> tuple[OccArray, dict]:
             cap, ecap = cap * 4, ecap * 4
         if grow_ml:
             ml *= 4
-            _ML_HINT[0] = max(_ML_HINT[0], ml)
+            _ml_hint_bump(ctx.get("index"), ml)
         n_retries += 1
         out = fetch_tree(ctx["run"](cap, ecap, ml))
     R, m, k, kb = ctx["R"], ctx["m"], ctx["k"], ctx["kb"]
@@ -711,13 +732,21 @@ def _exact_device(index, batch, max_locate):
     return pos, cand, valid, total
 
 
-def _match_exact(index, batch, R, max_locate):
-    """k=0 fast path: plain backward exact match + locate (the range
-    expansion runs on device via stage_expand — a single exact read with
-    1e5 occurrences must not stall the host in a Python loop)."""
+def _match_exact_finish(ec):
+    """Fetch + retry + host-side assembly of a dispatched k=0 pass (the
+    range expansion runs on device via stage_expand — a single exact read
+    with 1e5 occurrences must not stall the host in a Python loop)."""
+    index, batch, R = ec["index"], ec["batch"], ec["R"]
+    ml = ec["max_locate"]
     m = batch.shape[1]
-    pos, cand, valid, total = fetch_tree(
-        _exact_device(index, batch, int(max_locate)))
+    pos, cand, valid, total = fetch_tree(ec["out"])
+    tries = 0
+    while ec["auto_locate"] and int(total) > ml and tries < 3:
+        ml *= 4
+        _ml_hint_bump(index, ml)
+        pos, cand, valid, total = fetch_tree(
+            _exact_device(index, batch, int(ml)))
+        tries += 1
     total = int(total)
     pos_v = pos[valid].astype(np.int64)
     cand_v = cand[valid].astype(np.int64)
@@ -726,7 +755,7 @@ def _match_exact(index, batch, R, max_locate):
     occs = OccArray(read_id[order], strand[order], pos_v[order],
                     pos_v[order] + m, np.zeros(order.size, np.int64))
     stats = dict(total_candidates=total, overflow=0, nodes_visited=0,
-                 locate_truncated=total > max_locate)
+                 locate_truncated=total > ml, retries=tries)
     return occs, stats
 
 

@@ -173,39 +173,118 @@ def map_batch_best_start(index: FMIndex, reads: np.ndarray,
     R, m = reads.shape
     cutoff = best_cutoff_for(cfg, m)
     if cutoff <= 6:
-        ctx = pipeline.match_all_start(
-            index, reads, _scheme_for(cfg, cutoff), metric=cfg.metric,
-            capacity=cfg.capacity, max_locate=cfg.max_locate,
-            kmer_table=cfg.kmer_table, partitioning=cfg.partitioning,
-            switchpoint=cfg.switchpoint, host_arrays=cfg.arrays,
-        )
-        return dict(mode="single", ctx=ctx, cutoff=cutoff)
+        if getattr(index, "textless", False):
+            # textless RLC refuses k=0 and dynamic selection, so it keeps
+            # the one-pass-at-cutoff shape (pipeline.py match_all_start)
+            ctx = _dispatch_best(index, reads, cutoff, cfg)
+            return dict(mode="single", ctx=ctx, cutoff=cutoff)
+        # Escalating rungs (the SE analogue of the PE BEST rungs,
+        # paired.map_pairs_best_start): one full pass at the cutoff pays
+        # k=5-grade device work for every read while almost all reads
+        # resolve at distance <= 2 — the reference's per-read ladder
+        # early-exit (src/searchstrategy.cpp:676-712) exploits exactly
+        # this. Rung cuts 0 -> 2 -> cutoff; a read is final after a rung
+        # with cut c iff best + x < c + 1 (any occurrence the rung missed
+        # has distance > c >= best + x, so the [best, best+x] window is
+        # complete). Only unresolved reads escalate, padded to pow2 lane
+        # counts to bound the jit-variant set.
+        rungs = [c for c in (0, 2) if c < cutoff] + [cutoff]
+        ctx = _dispatch_best(index, reads, rungs[0], cfg)
+        return dict(mode="rungs", ctx=ctx, cutoff=cutoff, rungs=rungs)
     return dict(mode="ladder",
                 occs=map_batch_best_arr(index, reads, cfg, counters))
 
 
+def _dispatch_best(index, reads, cut, cfg):
+    return pipeline.match_all_start(
+        index, reads, _scheme_for(cfg, cut), metric=cfg.metric,
+        capacity=cfg.capacity, max_locate=cfg.max_locate,
+        kmer_table=cfg.kmer_table, partitioning=cfg.partitioning,
+        switchpoint=cfg.switchpoint, host_arrays=cfg.arrays,
+    )
+
+
+def _pad_pow2(reads: np.ndarray, floor: int = 512) -> np.ndarray:
+    """Pad a read sub-batch to a power-of-two row count (>= floor) by
+    repeating row 0; pad-lane results are dropped by read_id filter."""
+    n = len(reads)
+    P = max(floor, 1 << (n - 1).bit_length())
+    if P == n:
+        return reads
+    return np.concatenate([reads, np.repeat(reads[:1], P - n, axis=0)])
+
+
+def _trim_full(occs, reads, cfg, cutoff):
+    """Boundary trim with rung-invariant parameters (always the FULL
+    cutoff): trim's eligibility windows and re-verify budget scale with
+    kb, so pinning kb to the cutoff makes per-read trim results identical
+    across rungs — the rung-finality argument needs that invariance."""
+    if cfg.arrays is None or getattr(cfg.arrays, "textless", False):
+        return occs
+    kbs = cutoff if cfg.metric == "edit" else 0
+    return pipeline.apply_boundary_trim(occs, reads, cfg.arrays, kbs,
+                                        cutoff)
+
+
 def map_batch_best_finish(handle, index: FMIndex, reads: np.ndarray,
                           cfg: MappingConfig, counters=None):
-    """Fetch + filter a dispatched BEST batch -> OccArray."""
+    """Fetch + filter a dispatched BEST batch -> OccArray (escalating
+    unresolved reads through the remaining rungs)."""
     if handle["mode"] == "ladder":
         return handle["occs"]
     R, m = reads.shape
     cutoff = handle["cutoff"]
     x = cfg.best_plus_x
-    occs, stats = pipeline.match_all_finish(handle["ctx"])
-    if counters is not None:
-        counters.add_device_stats(stats)
-    if cfg.arrays is not None and not getattr(cfg.arrays, "textless",
-                                              False):
-        kbs = cutoff if cfg.metric == "edit" else 0
-        occs = pipeline.apply_boundary_trim(occs, reads, cfg.arrays,
-                                            kbs, cutoff)
+    if handle["mode"] == "single":        # textless one-pass path
+        occs, stats = pipeline.match_all_finish(handle["ctx"])
+        if counters is not None:
+            counters.add_device_stats(stats)
+        occs = _trim_full(occs, reads, cfg, cutoff)
+        if not len(occs):
+            return occs
+        best1 = np.full(R, cutoff + 1, dtype=np.int64)
+        np.minimum.at(best1, occs.read_id, occs.distance)
+        rb = best1[occs.read_id]
+        occs = occs.take(occs.distance <= np.minimum(rb + x, cutoff))
+        o2 = np.lexsort((occs.begin, occs.end, occs.strand, occs.read_id))
+        return occs.take(o2)
+    rungs = handle["rungs"]
+    ctx = handle["ctx"]
+    sub_ids = np.arange(R)
+    preads = reads
+    parts: list = []
+    for ri, c in enumerate(rungs):
+        occs, stats = pipeline.match_all_finish(ctx)
+        if counters is not None:
+            counters.add_device_stats(stats)
+        occs = _trim_full(occs, preads, cfg, cutoff)
+        if len(preads) > len(sub_ids):    # drop pad-lane occurrences
+            occs = occs.take(occs.read_id < len(sub_ids))
+        best = np.full(len(sub_ids), cutoff + 1, dtype=np.int64)
+        if len(occs):
+            np.minimum.at(best, occs.read_id, occs.distance)
+        last = ri == len(rungs) - 1
+        final = (np.ones(len(sub_ids), dtype=bool) if last
+                 else (best + x) < c + 1)
+        if len(occs):
+            keep = occs.take(final[occs.read_id])
+            if len(keep):
+                rb = best[keep.read_id]
+                keep = keep.take(
+                    keep.distance <= np.minimum(rb + x, cutoff))
+                keep.read_id = sub_ids[keep.read_id]
+                parts.append(keep)
+        if last:
+            break
+        esc = np.nonzero(~final)[0]
+        if not len(esc):
+            break
+        sub_ids = sub_ids[esc]
+        preads = _pad_pow2(reads[sub_ids])
+        ctx = _dispatch_best(index, preads, rungs[ri + 1], cfg)
+    occs = pipeline.OccArray.concat(parts)
     if not len(occs):
         return occs
-    best1 = np.full(R, cutoff + 1, dtype=np.int64)
-    np.minimum.at(best1, occs.read_id, occs.distance)
-    rb = best1[occs.read_id]
-    occs = occs.take(occs.distance <= np.minimum(rb + x, cutoff))
     o2 = np.lexsort((occs.begin, occs.end, occs.strand, occs.read_id))
     return occs.take(o2)
 

@@ -130,6 +130,82 @@ def test_parity_boundary(fm3, rng):
     _both(fm3, recs, reads, occs, 2)
 
 
+def _pe_both(fm3, recs1, recs2, mapped, kb):
+    genome, arrays, index = fm3
+    from columba_tpu.search import paired
+
+    want = "".join(paired.emit_sam_paired(recs1, recs2, mapped, arrays,
+                                          kb))
+    got = emit.emit_sam_pe_native(recs1, recs2, mapped, arrays,
+                                  decoded_text(arrays), kb, n_threads=3)
+    assert got is not None
+    assert got.decode() == want
+
+
+def _pe_sample(rng, genome, n, m, insert, n_junk=0):
+    r1, r2 = [], []
+    for _ in range(n):
+        p = int(rng.integers(0, len(genome) - insert - 10))
+        frag = genome[p:p + insert]
+        a, b = frag[:m].copy(), alphabet.revcomp(frag[-m:]).copy()
+        for r in (a, b):       # sprinkle mismatches
+            for _ in range(int(rng.integers(0, 3))):
+                r[int(rng.integers(0, m))] = rng.integers(0, 4)
+        r1.append(a)
+        r2.append(b)
+    for _ in range(n_junk):    # junk pairs -> unpaired/unmapped records
+        r1.append(rng.integers(0, 4, m).astype(np.uint8))
+        r2.append(rng.integers(0, 4, m).astype(np.uint8))
+    return np.stack(r1), np.stack(r2)
+
+
+@pytest.mark.parametrize("mode", ["all", "best"])
+def test_pe_parity(fm3, rng, mode):
+    """Native PE emitter vs paired.emit_sam_paired: byte parity across
+    concordant pairs, multimapped repeat pairs, unpaired and unmapped."""
+    genome, arrays, index = fm3
+    from columba_tpu.search import paired, strategy
+
+    r1, r2 = _pe_sample(rng, genome, n=14, m=50, insert=180, n_junk=4)
+    pcfg = paired.PairedConfig(orientation="fr", min_insert=100,
+                               max_insert=260, infer=False)
+    if mode == "all":
+        k = 2
+        mapped = paired.map_pairs_all(index, r1, r2, "kuch1", k, "edit",
+                                      pcfg, arrays.seq_starts,
+                                      arrays=arrays)
+    else:
+        cfg = strategy.MappingConfig(scheme_name="kuch1", metric="edit",
+                                     arrays=arrays)
+        k = strategy.best_cutoff_for(cfg, r1.shape[1])
+        mapped = paired.map_pairs_best(index, r1, r2, cfg, pcfg,
+                                       arrays.seq_starts)
+    recs1 = _records(r1, rng)
+    recs2 = _records(r2, rng)
+    _pe_both(fm3, recs1, recs2, mapped, kb=k)
+
+
+def test_pe_parity_fuzz(fm3, rng):
+    genome, arrays, index = fm3
+    from columba_tpu.search import paired
+
+    for trial in range(5):
+        n = int(rng.integers(1, 16))
+        m = int(rng.integers(30, 70))
+        insert = int(rng.integers(3 * m, 5 * m))
+        k = int(rng.integers(1, 3))
+        r1, r2 = _pe_sample(rng, genome, n=n, m=m, insert=insert,
+                            n_junk=int(rng.integers(0, 3)))
+        pcfg = paired.PairedConfig(
+            orientation="fr", min_insert=max(0, insert - 60),
+            max_insert=insert + 60, infer=False,
+            discordant=bool(rng.integers(0, 2)))
+        mapped = paired.map_pairs_all(index, r1, r2, "kuch1", k, "edit",
+                                      pcfg, arrays.seq_starts,
+                                      arrays=arrays)
+        _pe_both(fm3, _records(r1, rng), _records(r2, rng), mapped, kb=k)
+
+
 def test_parity_fuzz(fm3, rng):
     """Randomized fuzz over many batches."""
     genome, arrays, index = fm3
