@@ -636,7 +636,53 @@ def _align_paired(args, arrays, index, cfg, kmer_table):
     # in maximal same-shape runs, so output order matches the input.
     CHUNK = max(8 * B, 65536)
 
+    def _recs_to_soa(recs):
+        """ReadRecord list -> flat SoA chunk (generic-reader fallback)."""
+        from columba_tpu.io import emit as _emit
+
+        seq_offs = np.zeros(len(recs) + 1, np.int64)
+        np.cumsum([len(r.codes) for r in recs], out=seq_offs[1:])
+        codes = (np.concatenate([r.codes for r in recs])
+                 if recs else np.zeros(0, np.uint8))
+        names, name_offs = _emit.pack_strings([r.name for r in recs])
+        quals, qual_offs = _emit.pack_strings([r.qual for r in recs])
+        return dict(n=len(recs), codes=codes.astype(np.uint8, copy=False),
+                    seq_offs=seq_offs,
+                    names=np.frombuffer(names, np.uint8),
+                    name_offs=name_offs,
+                    quals=np.frombuffer(quals, np.uint8),
+                    qual_offs=qual_offs, lens=np.diff(seq_offs))
+
+    def _is_fasta(path):
+        import gzip as _gzip
+
+        f = (_gzip.open(path, "rb") if path.endswith(".gz")
+             else open(path, "rb"))
+        with f:
+            return f.read(1) == b">"
+
     def chunks_of_pairs():
+        """Yield lockstep (soa1, soa2) chunks of CHUNK pairs. Native
+        chunked parsing when available (measured: the Python record
+        parser cost ~2s per 50k-pair chunk — a third of the whole PE
+        run); ReadRecord fallback for FASTA / no toolchain."""
+        if (fastq.native_reader_available() and not _is_fasta(args.reads)
+                and not _is_fasta(args.reads2)):
+            r1 = fastq.SoaReader(args.reads)
+            r2 = fastq.SoaReader(args.reads2)
+            try:
+                while True:
+                    c1 = r1.take(CHUNK)
+                    c2 = r2.take(CHUNK)
+                    if c1 is None and c2 is None:
+                        return
+                    if c1 is None or c2 is None or c1["n"] != c2["n"]:
+                        raise ValueError("read files must pair up")
+                    yield c1, c2
+            finally:
+                r1.close()
+                r2.close()
+            return
         it1 = fastq.parse_reads(args.reads)
         it2 = fastq.parse_reads(args.reads2)
         while True:
@@ -646,13 +692,17 @@ def _align_paired(args, arrays, index, cfg, kmer_table):
                 raise ValueError("read files must pair up")
             if not c1:
                 return
-            yield c1, c2
+            yield _recs_to_soa(c1), _recs_to_soa(c2)
 
     def group_k(m):
         if args.mode == "all":
             return cfg.max_distance
         return get_max_ed(args.min_identity, m,
                           max(max_supported_k(args.scheme, m, args.metric), 1))
+
+    def pair_keys(c1, c2):
+        """(len1 << 32 | len2) per pair — the shape-group key."""
+        return (c1["lens"].astype(np.int64) << 32) | c2["lens"]
 
     chunks = chunks_of_pairs()
     pending = []
@@ -665,14 +715,13 @@ def _align_paired(args, arrays, index, cfg, kmer_table):
             first = None
         if first is not None:
             pending.append(first)
-            recs1, recs2 = first
-            groups0: dict = {}
-            for i, (r1, r2) in enumerate(zip(recs1, recs2)):
-                groups0.setdefault((len(r1.codes), len(r2.codes)),
-                                   []).append(i)
-            big = max(groups0.values(), key=len)
-            g1 = np.stack([recs1[i].codes for i in big])
-            g2 = np.stack([recs2[i].codes for i in big])
+            c1, c2 = first
+            keys = pair_keys(c1, c2)
+            vals, counts = np.unique(keys, return_counts=True)
+            key = int(vals[np.argmax(counts)])
+            idxs = np.nonzero(keys == key)[0]
+            g1 = fastq.soa_gather_codes(c1, idxs, key >> 32)
+            g2 = fastq.soa_gather_codes(c2, idxs, key & 0xffffffff)
             pcfg = paired.infer_parameters(
                 index, g1, g2, cfg, arrays.seq_starts, kmer_table,
                 pcfg_in=pcfg)
@@ -685,7 +734,7 @@ def _align_paired(args, arrays, index, cfg, kmer_table):
     t0 = _time.time()
     done = 0
 
-    def map_chunk(recs1, recs2):
+    def map_chunk(c1, c2):
         """Map one chunk; returns (mapped_all, kb_of) for its emission.
 
         Two-phase: every sub-batch's device passes (both sides) are
@@ -695,18 +744,18 @@ def _align_paired(args, arrays, index, cfg, kmer_table):
         pool, src/parallel.cpp:1198-1229). The deep-cutoff ladder path is
         inherently synchronous and runs inside start."""
         nonlocal done
-        groups: dict = {}
-        for i, (r1, r2) in enumerate(zip(recs1, recs2)):
-            groups.setdefault((len(r1.codes), len(r2.codes)), []).append(i)
-        mapped_all: list = [None] * len(recs1)
+        keys = pair_keys(c1, c2)
+        mapped_all: list = [None] * c1["n"]
         kb_of: dict = {}
         launches = []
-        for key, idxs in groups.items():
-            m1, _m2 = key
+        for keyv in np.unique(keys):
+            idxs = np.nonzero(keys == keyv)[0]
+            m1, m2 = int(keyv >> 32), int(keyv & 0xffffffff)
+            key = (m1, m2)
             k = group_k(m1)
             kb_of[key] = k if cfg.metric == "edit" else 0
-            g1 = np.stack([recs1[i].codes for i in idxs])
-            g2 = np.stack([recs2[i].codes for i in idxs])
+            g1 = fastq.soa_gather_codes(c1, idxs, m1)
+            g2 = fastq.soa_gather_codes(c2, idxs, m2)
             for off in range(0, len(idxs), B):
                 if args.mode == "best":
                     # single-pass PE BEST: both sides at full cutoff,
@@ -764,23 +813,35 @@ def _align_paired(args, arrays, index, cfg, kmer_table):
                 item = out_q.get()
                 if item is None:
                     return
-                recs1, recs2, mapped_all, kb_of = item
+                c1, c2, mapped_all, kb_of = item
+                keys = pair_keys(c1, c2)
+                n = c1["n"]
                 i = 0
-                while i < len(recs1):
-                    key = (len(recs1[i].codes), len(recs2[i].codes))
+                while i < n:
+                    keyv = keys[i]
                     j = i + 1
-                    while (j < len(recs1) and j - i < B
-                           and (len(recs1[j].codes),
-                                len(recs2[j].codes)) == key):
+                    # run cap bounds the native output buffer (~35 MB)
+                    while j < n and j - i < 65536 and keys[j] == keyv:
                         j += 1
-                    data = (emit.emit_sam_pe_native(
-                        recs1[i:j], recs2[i:j], mapped_all[i:j], arrays,
-                        genome, kb_of[key], counters=ctrs)
-                        if use_native else None)
-                    if data is None:
+                    m1, m2 = int(keyv >> 32), int(keyv & 0xffffffff)
+                    kb = kb_of[(m1, m2)]
+                    if use_native:
+                        idx = np.arange(i, j)
+                        data = emit.emit_sam_pe_soa(
+                            fastq.soa_gather_codes(c1, idx, m1),
+                            c1["names"], c1["name_offs"][i:j + 1],
+                            c1["quals"], c1["qual_offs"][i:j + 1],
+                            fastq.soa_gather_codes(c2, idx, m2),
+                            c2["names"], c2["name_offs"][i:j + 1],
+                            c2["quals"], c2["qual_offs"][i:j + 1],
+                            emit.pe_soa_from_mapped(mapped_all[i:j]),
+                            arrays, genome, kb, counters=ctrs)
+                    else:
                         data = "".join(paired.emit_sam_paired(
-                            recs1[i:j], recs2[i:j], mapped_all[i:j],
-                            arrays, kb_of[key], counters=ctrs)).encode()
+                            fastq.soa_records(c1, i, j),
+                            fastq.soa_records(c2, i, j),
+                            mapped_all[i:j],
+                            arrays, kb, counters=ctrs)).encode()
                     out.write(data)
                     i = j
         except BaseException as e:
@@ -792,9 +853,9 @@ def _align_paired(args, arrays, index, cfg, kmer_table):
         out.write(sam.header(arrays.seq_names, seq_lengths).encode())
         wrt = threading.Thread(target=_writer, args=(out,), daemon=True)
         wrt.start()
-        for recs1, recs2 in itertools.chain(pending, chunks):
-            mapped_all, kb_of = map_chunk(recs1, recs2)
-            out_q.put((recs1, recs2, mapped_all, kb_of))
+        for c1, c2 in itertools.chain(pending, chunks):
+            mapped_all, kb_of = map_chunk(c1, c2)
+            out_q.put((c1, c2, mapped_all, kb_of))
         out_q.put(None)
         wrt.join()
         if errors:

@@ -263,42 +263,68 @@ def pe_soa_from_mapped(mapped) -> dict:
     )
 
 
+def _buf_arg(b):
+    """bytes -> itself (ctypes keeps it alive); ndarray -> data pointer."""
+    return b if isinstance(b, bytes) else b.ctypes.data
+
+
 def emit_sam_pe_native(
     recs1, recs2, mapped, arrays, genome: np.ndarray, kb: int,
     n_threads: int = 3, counters=None,
 ) -> bytes | None:
     """Emit one same-shape run of PE SAM records natively; None if the
     native lib is unavailable (caller falls back to the Python emitter)."""
-    lib = _lib()
-    if lib is None or not hasattr(lib, "emit_sam_pe"):
+    if not pe_available():
         return None
     codes1 = np.ascontiguousarray(np.stack([r.codes for r in recs1]),
                                   dtype=np.uint8)
     codes2 = np.ascontiguousarray(np.stack([r.codes for r in recs2]),
                                   dtype=np.uint8)
-    R, m1 = codes1.shape
-    m2 = codes2.shape[1]
     names1, n1off = pack_strings([r.name for r in recs1])
     quals1, q1off = pack_strings([r.qual for r in recs1])
     names2, n2off = pack_strings([r.name for r in recs2])
     quals2, q2off = pack_strings([r.qual for r in recs2])
-    soa = pe_soa_from_mapped(mapped)
+    return emit_sam_pe_soa(
+        codes1, names1, n1off, quals1, q1off,
+        codes2, names2, n2off, quals2, q2off,
+        pe_soa_from_mapped(mapped), arrays, genome, kb,
+        n_threads=n_threads, counters=counters)
+
+
+def emit_sam_pe_soa(
+    codes1: np.ndarray, names1, n1off: np.ndarray, quals1,
+    q1off: np.ndarray,
+    codes2: np.ndarray, names2, n2off: np.ndarray, quals2,
+    q2off: np.ndarray,
+    soa: dict, arrays, genome: np.ndarray, kb: int,
+    n_threads: int = 3, counters=None,
+) -> bytes:
+    """SoA-level PE emission: codes matrices + name/qual buffers with
+    per-record offset arrays (offsets are absolute into the buffers, so
+    chunk-parser slices pass through without copying)."""
+    lib = _lib()
+    R, m1 = codes1.shape
+    m2 = codes2.shape[1]
+    n1off = np.ascontiguousarray(n1off, dtype=np.int64)
+    q1off = np.ascontiguousarray(q1off, dtype=np.int64)
+    n2off = np.ascontiguousarray(n2off, dtype=np.int64)
+    q2off = np.ascontiguousarray(q2off, dtype=np.int64)
     sn = seqname_cache(arrays)
     P = len(soa["end1"])
     mmax = max(m1, m2)
     line = 4 * (mmax + kb) + 64 + 96
-    cap = ((2 * P + 2 * R) * line + len(names1) + len(names2)
-           + (2 * P + 2 * R) * max(
-               int((n1off[1:] - n1off[:-1]).max(initial=0)),
-               int((n2off[1:] - n2off[:-1]).max(initial=0)))
-           + 4096)
+    name_max = max(int((n1off[1:] - n1off[:-1]).max(initial=0)),
+                   int((n2off[1:] - n2off[:-1]).max(initial=0)))
+    cap = (2 * P + 2 * R) * (line + name_max) + 4096
     stats = np.zeros(4, dtype=np.int64)
     for _ in range(2):
         out = ctypes.create_string_buffer(cap)
         n = lib.emit_sam_pe(
             codes1.ctypes.data, R, m1, codes2.ctypes.data, m2,
-            names1, n1off.ctypes.data, quals1, q1off.ctypes.data,
-            names2, n2off.ctypes.data, quals2, q2off.ctypes.data,
+            _buf_arg(names1), n1off.ctypes.data,
+            _buf_arg(quals1), q1off.ctypes.data,
+            _buf_arg(names2), n2off.ctypes.data,
+            _buf_arg(quals2), q2off.ctypes.data,
             soa["pair_off"].ctypes.data,
             soa["end1"].ctypes.data, soa["st1"].ctypes.data,
             soa["end2"].ctypes.data, soa["st2"].ctypes.data,

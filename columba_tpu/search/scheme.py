@@ -322,6 +322,10 @@ _BUILTIN_DIRS = {
 }
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=256)
 def get_multi_scheme(name: str, k: int) -> list[SearchScheme]:
     """Candidate scheme list for dynamic per-read selection.
 
@@ -347,9 +351,16 @@ def get_multi_scheme(name: str, k: int) -> list[SearchScheme]:
     return [base, base.mirrored()]
 
 
+@functools.lru_cache(maxsize=512)
 def get_scheme(name: str, k: int) -> SearchScheme:
     """Scheme registry: builtin generators + bundled data folders + custom
-    folder paths (mirrors the reference's -S / -ss options)."""
+    folder paths (mirrors the reference's -S / -ss options).
+
+    Cached per (name, k): folder load + losslessness validation cost
+    ~0.7s for the k=5 dynamic-selection set, and the BEST path resolves
+    its scheme per batch — measured as the single largest host cost of
+    the reference-default mode before this cache. SearchScheme is treated
+    as immutable by every consumer."""
     if k == 0:
         return exact_scheme()
     if name == "naive":

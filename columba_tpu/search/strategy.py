@@ -183,16 +183,32 @@ def map_batch_best_start(index: FMIndex, reads: np.ndarray,
         # k=5-grade device work for every read while almost all reads
         # resolve at distance <= 2 — the reference's per-read ladder
         # early-exit (src/searchstrategy.cpp:676-712) exploits exactly
-        # this. Rung cuts 0 -> 2 -> cutoff; a read is final after a rung
-        # with cut c iff best + x < c + 1 (any occurrence the rung missed
-        # has distance > c >= best + x, so the [best, best+x] window is
-        # complete). Only unresolved reads escalate, padded to pow2 lane
-        # counts to bound the jit-variant set.
-        rungs = [c for c in (0, 2) if c < cutoff] + [cutoff]
+        # this. A read is final after a rung with cut c iff
+        # best + x < c + 1 (any occurrence the rung missed has distance
+        # > c >= best + x, so the [best, best+x] window is complete).
+        # Only unresolved reads escalate, padded to pow2 lane counts to
+        # bound the jit-variant set. Rung choice is a cost trade: a low
+        # first rung only wins when it finalizes most reads (measured on
+        # 1%-error 100 bp reads: ~37% resolve exactly, so a 0-rung pays
+        # a full-width k=2 pass on top — rung 2 finalizes ~92% and the
+        # cutoff pass runs at 1/8 width).
+        rungs = [c for c in _pre_rungs() if c < cutoff] + [cutoff]
         ctx = _dispatch_best(index, reads, rungs[0], cfg)
         return dict(mode="rungs", ctx=ctx, cutoff=cutoff, rungs=rungs)
     return dict(mode="ladder",
                 occs=map_batch_best_arr(index, reads, cfg, counters))
+
+
+def _pre_rungs() -> tuple:
+    """Pre-cutoff rung cuts (comma list via COLUMBA_TPU_BEST_RUNGS;
+    empty string = single full-cutoff pass). Default (2,): measured best
+    on 1%-error short reads — see map_batch_best_start."""
+    import os
+
+    v = os.environ.get("COLUMBA_TPU_BEST_RUNGS")
+    if v is None:
+        return (2,)
+    return tuple(int(t) for t in v.split(",") if t.strip() != "")
 
 
 def _dispatch_best(index, reads, cut, cfg):
