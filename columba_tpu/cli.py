@@ -115,6 +115,10 @@ def main(argv=None):
                    help="do not output unmapped reads")
     a.add_argument("-nD", "--no-dynamic-selection", action="store_true",
                    help="disable per-read dynamic scheme selection")
+    a.add_argument("--probe-selection", action="store_true",
+                   help="force the per-read exact-range probe for the "
+                        "builtin 'columba' set (identical output; measured "
+                        "~2x slower on TPU — see strategy._scheme_for)")
     # The reference defaults to dynamic partitioning because per-read
     # partitions shrink ITS per-read DFS (src/parameters/alignparameters.h:20).
     # Partitioning does not change reported occurrences (it only shapes the
@@ -306,6 +310,7 @@ def cmd_align(args):
         capacity=args.capacity,
         kmer_table=kmer_table,
         dynamic_selection=dynamic_selection,
+        probe_selection=args.probe_selection,
         partitioning=args.partitioning,
         switchpoint=args.in_text,
         arrays=arrays,

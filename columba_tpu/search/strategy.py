@@ -71,6 +71,7 @@ def max_supported_k(scheme_name: str, m: int, metric: str = "edit") -> int:
 class MappingConfig:
     scheme_name: str = "kuch1"
     dynamic_selection: bool = False  # per-read scheme choice (reference -S columba default)
+    probe_selection: bool = False  # force the probe even for builtin 'columba' (see _scheme_for)
     metric: str = "edit"
     mode: str = "best"        # "all" | "best"
     max_distance: int = 2     # ALL mode k (reference -e)
@@ -95,9 +96,29 @@ class MappedRead:
 
 
 def _scheme_for(cfg: MappingConfig, k: int):
+    """Resolve the scheme for one pass at cut k.
+
+    The builtin 'columba' dynamic-selection set COLLAPSES to its base
+    scheme (minU k<=7 / greedy above) unless probe selection is forced:
+    per-read scheme choice is a per-read-DFS optimization (reference
+    src/searchstrategy.h:2505-2537 picks the scheme whose critical search
+    has the fewest exact matches, saving THAT READ's node budget) — under
+    SPMD batching every lane marches in lockstep, so the masked combined
+    pass costs the union of all schemes' searches and the choice saves
+    nothing. Measured (16384x100bp, k=5): probe + combined masked pass
+    1148 ms vs single minU 540 ms. The reported occurrence set is
+    IDENTICAL either way (every scheme in the set is lossless at k).
+    User-supplied selection folders (-d/-c) keep the true probe path.
+    """
     if k == 0:
         return get_scheme(cfg.scheme_name, 0)
-    if cfg.dynamic_selection or cfg.scheme_name == "columba":
+    if cfg.scheme_name == "columba":
+        if cfg.probe_selection:
+            from columba_tpu.search.scheme import get_multi_scheme
+
+            return get_multi_scheme("columba", k)
+        return get_scheme("columba", k)
+    if cfg.dynamic_selection:
         from columba_tpu.search.scheme import get_multi_scheme
 
         return get_multi_scheme(cfg.scheme_name, k)
@@ -200,14 +221,20 @@ def map_batch_best_start(index: FMIndex, reads: np.ndarray,
 
 
 def _pre_rungs() -> tuple:
-    """Pre-cutoff rung cuts (comma list via COLUMBA_TPU_BEST_RUNGS;
-    empty string = single full-cutoff pass). Default (2,): measured best
-    on 1%-error short reads — see map_batch_best_start."""
+    """Pre-cutoff rung cuts (comma list via COLUMBA_TPU_BEST_RUNGS; empty
+    = single full-cutoff pass). Default: NO pre-rungs for SE — measured
+    on 1%-error 100 bp reads (k=5 cutoff, probe-free schemes): single
+    pass 28.6k reads/s vs rung-(2,cutoff) 23.9k vs rung-(0,2,cutoff)
+    ~12k. Escalation re-dispatches from the finish side, which serializes
+    the emitter thread on device round trips; the device saving (k2 pass
+    321 ms vs k5 540 ms, escalated tail at 1/8 width) does not cover the
+    lost overlap. PE keeps its rungs: its (0,0) rung finalizes most pairs
+    outright, so escalations are rare there."""
     import os
 
     v = os.environ.get("COLUMBA_TPU_BEST_RUNGS")
     if v is None:
-        return (2,)
+        return ()
     return tuple(int(t) for t in v.split(",") if t.strip() != "")
 
 
