@@ -739,8 +739,24 @@ def _align_paired(args, arrays, index, cfg, kmer_table):
     t0 = _time.time()
     done = 0
 
+    from columba_tpu.io import emit
+    from columba_tpu.search.strategy import best_cutoff_for
+
+    def chunk_rows_mode(c1, c2) -> bool:
+        """Array-native result path applies when every shape group stays
+        on the rung path (cutoffs <= 6), discordant pairing is off and
+        the native emitter is present (see paired.PERowsBest)."""
+        if (args.mode != "best" or pcfg.discordant
+                or not emit.pe_available()):
+            return False
+        return all(best_cutoff_for(cfg, int(m)) <= 6
+                   for m in np.unique(np.concatenate(
+                       [c1["lens"], c2["lens"]])))
+
     def map_chunk(c1, c2):
-        """Map one chunk; returns (mapped_all, kb_of) for its emission.
+        """Map one chunk; returns (result, kb_of) for its emission —
+        result is a PERowsBest (array-native fast path) or a MappedPair
+        list.
 
         Two-phase: every sub-batch's device passes (both sides) are
         DISPATCHED first (async), then finished in order — batch i's
@@ -750,7 +766,16 @@ def _align_paired(args, arrays, index, cfg, kmer_table):
         inherently synchronous and runs inside start."""
         nonlocal done
         keys = pair_keys(c1, c2)
-        mapped_all: list = [None] * c1["n"]
+        n = c1["n"]
+        rows_mode = chunk_rows_mode(c1, c2)
+        mapped_all: list = [None] * n
+        cres = (paired.PERowsBest(
+            n=n, rows=None,
+            u_end1=np.full(n, -1, np.int64), u_st1=np.zeros(n, np.uint8),
+            u_mq1=np.zeros(n, np.int32),
+            u_end2=np.full(n, -1, np.int64), u_st2=np.zeros(n, np.uint8),
+            u_mq2=np.zeros(n, np.int32)) if rows_mode else None)
+        row_parts: list = []
         kb_of: dict = {}
         launches = []
         for keyv in np.unique(keys):
@@ -776,29 +801,61 @@ def _align_paired(args, arrays, index, cfg, kmer_table):
                         cfg.scheme_name, k, cfg.metric, kmer_table)
                 launches.append((key, idxs, off, h))
         for key, idxs, off, h in launches:
-            if args.mode == "best":
-                mapped = paired.map_pairs_best_finish(
-                    h, cfg, pcfg, arrays.seq_starts, counters=ctrs)
+            gidx = idxs[off:off + B]
+            if rows_mode:
+                rr = paired.map_pairs_best_finish(
+                    h, cfg, pcfg, arrays.seq_starts, counters=ctrs,
+                    as_rows=True)
+                rows = rr.rows
+                has_rows = np.zeros(rr.n, dtype=bool)
+                has_rows[rows.pair_id] = True
+                u1, u2 = rr.u_end1 >= 0, rr.u_end2 >= 0
+                pl = ~has_rows
+                ctrs.number_of_reads += 2 * len(gidx)
+                ctrs.total_unique_pairs += len(rows)
+                ctrs.mapped_pairs += int(has_rows.sum())
+                ctrs.unpaired_but_mapped_pairs += int((pl & u1 & u2).sum())
+                ctrs.mapped_half_pairs += int((pl & (u1 ^ u2)).sum())
+                rows.pair_id = gidx[rows.pair_id]
+                row_parts.append(rows)
+                for src, dst in ((rr.u_end1, cres.u_end1),
+                                 (rr.u_st1, cres.u_st1),
+                                 (rr.u_mq1, cres.u_mq1),
+                                 (rr.u_end2, cres.u_end2),
+                                 (rr.u_st2, cres.u_st2),
+                                 (rr.u_mq2, cres.u_mq2)):
+                    dst[gidx] = src
             else:
-                mapped = paired.map_pairs_all_finish(
-                    h, pcfg, arrays.seq_starts, arrays=arrays,
-                    counters=ctrs)
-            for j, mp in zip(idxs[off:off + B], mapped):
-                mapped_all[j] = mp
-                ctrs.number_of_reads += 2
-                ctrs.total_unique_pairs += len(mp.pairs)
-                if mp.pairs:
-                    ctrs.mapped_pairs += 1
-                elif mp.discordant:
-                    ctrs.discordantly_mapped_pairs += 1
-                elif mp.unpaired1 and mp.unpaired2:
-                    ctrs.unpaired_but_mapped_pairs += 1
-                elif mp.unpaired1 or mp.unpaired2:
-                    ctrs.mapped_half_pairs += 1
-            done += min(len(idxs) - off, B)
+                if args.mode == "best":
+                    mapped = paired.map_pairs_best_finish(
+                        h, cfg, pcfg, arrays.seq_starts, counters=ctrs)
+                else:
+                    mapped = paired.map_pairs_all_finish(
+                        h, pcfg, arrays.seq_starts, arrays=arrays,
+                        counters=ctrs)
+                for j, mp in zip(gidx, mapped):
+                    mapped_all[j] = mp
+                    ctrs.number_of_reads += 2
+                    ctrs.total_unique_pairs += len(mp.pairs)
+                    if mp.pairs:
+                        ctrs.mapped_pairs += 1
+                    elif mp.discordant:
+                        ctrs.discordantly_mapped_pairs += 1
+                    elif mp.unpaired1 and mp.unpaired2:
+                        ctrs.unpaired_but_mapped_pairs += 1
+                    elif mp.unpaired1 or mp.unpaired2:
+                        ctrs.mapped_half_pairs += 1
+            done += len(gidx)
             rate = done / max(_time.time() - t0, 1e-9)
             print(f"[columba_tpu] {done} pairs ({rate:,.0f} pairs/s)",
                   file=_sys.stderr)
+        if rows_mode:
+            from columba_tpu.search import pairing
+
+            allr = pairing.PairRows.concat(row_parts)
+            order = np.argsort(allr.pair_id, kind="stable")
+            cres.rows = allr.take(order)
+            return cres, kb_of
         return mapped_all, kb_of
 
     # writer thread: emission (traceback DP + SAM) of chunk i overlaps the
@@ -818,7 +875,8 @@ def _align_paired(args, arrays, index, cfg, kmer_table):
                 item = out_q.get()
                 if item is None:
                     return
-                c1, c2, mapped_all, kb_of = item
+                c1, c2, result, kb_of = item
+                rows_mode = isinstance(result, paired.PERowsBest)
                 keys = pair_keys(c1, c2)
                 n = c1["n"]
                 i = 0
@@ -831,21 +889,24 @@ def _align_paired(args, arrays, index, cfg, kmer_table):
                     m1, m2 = int(keyv >> 32), int(keyv & 0xffffffff)
                     kb = kb_of[(m1, m2)]
                     if use_native:
-                        idx = np.arange(i, j)
+                        soa = (emit.pe_soa_from_rows(result, i, j)
+                               if rows_mode else
+                               emit.pe_soa_from_mapped(result[i:j]))
                         data = emit.emit_sam_pe_soa(
-                            fastq.soa_gather_codes(c1, idx, m1),
+                            c1["codes"],
                             c1["names"], c1["name_offs"][i:j + 1],
                             c1["quals"], c1["qual_offs"][i:j + 1],
-                            fastq.soa_gather_codes(c2, idx, m2),
+                            c2["codes"],
                             c2["names"], c2["name_offs"][i:j + 1],
                             c2["quals"], c2["qual_offs"][i:j + 1],
-                            emit.pe_soa_from_mapped(mapped_all[i:j]),
-                            arrays, genome, kb, counters=ctrs)
+                            soa, arrays, genome, kb, counters=ctrs,
+                            seq_offs1=c1["seq_offs"][i:j + 1],
+                            seq_offs2=c2["seq_offs"][i:j + 1])
                     else:
                         data = "".join(paired.emit_sam_paired(
                             fastq.soa_records(c1, i, j),
                             fastq.soa_records(c2, i, j),
-                            mapped_all[i:j],
+                            result[i:j],
                             arrays, kb, counters=ctrs)).encode()
                     out.write(data)
                     i = j
@@ -859,8 +920,8 @@ def _align_paired(args, arrays, index, cfg, kmer_table):
         wrt = threading.Thread(target=_writer, args=(out,), daemon=True)
         wrt.start()
         for c1, c2 in itertools.chain(pending, chunks):
-            mapped_all, kb_of = map_chunk(c1, c2)
-            out_q.put((c1, c2, mapped_all, kb_of))
+            result, kb_of = map_chunk(c1, c2)
+            out_q.put((c1, c2, result, kb_of))
         out_q.put(None)
         wrt.join()
         if errors:

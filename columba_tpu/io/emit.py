@@ -53,8 +53,9 @@ def _lib():
             if hasattr(lib, "emit_sam_pe"):
                 lib.emit_sam_pe.restype = ctypes.c_int64
                 lib.emit_sam_pe.argtypes = [
-                    ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,  # codes1
-                    ctypes.c_void_p, ctypes.c_int32,                  # codes2
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+                    ctypes.c_int32,                                   # codes1
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,  # codes2
                     ctypes.c_void_p, ctypes.c_void_p,                 # names1
                     ctypes.c_void_p, ctypes.c_void_p,                 # quals1
                     ctypes.c_void_p, ctypes.c_void_p,                 # names2
@@ -268,6 +269,61 @@ def _buf_arg(b):
     return b if isinstance(b, bytes) else b.ctypes.data
 
 
+def pe_soa_from_rows(res, lo: int, hi: int) -> dict:
+    """PERowsBest read-range [lo, hi) -> SoA for the native PE emitter,
+    fully vectorized (the array-native replacement of pe_soa_from_mapped:
+    same candidate order — rows arrive sorted (pair_id, total, u_begin) —
+    same 100/read truncation and MAPQ semantics)."""
+    from columba_tpu.search.paired import _mapq_vec
+
+    rows = res.rows
+    n = hi - lo
+    r0 = int(np.searchsorted(rows.pair_id, lo, side="left"))
+    r1 = int(np.searchsorted(rows.pair_id, hi, side="left"))
+    pid = rows.pair_id[r0:r1] - lo
+    u_isl = rows.up_is_1[r0:r1].astype(bool)
+    u_end = rows.u_end[r0:r1]
+    u_beg = rows.u_begin[r0:r1]
+    u_str = rows.u_strand[r0:r1]
+    d_end = rows.d_end[r0:r1]
+    d_beg = rows.d_begin[r0:r1]
+    d_str = rows.d_strand[r0:r1]
+    tot = rows.u_dist[r0:r1] + rows.d_dist[r0:r1]
+    bounds = np.searchsorted(pid, np.arange(n + 1))
+    has = bounds[1:] > bounds[:-1]
+    best = np.zeros(n, dtype=np.int64)
+    best[has] = tot[bounds[:-1][has]]       # first row per read = best
+    is_best = tot == best[pid]
+    nb = np.bincount(pid[is_best], minlength=n)
+    mq_read = np.zeros(n, dtype=np.int32)
+    mq_read[has] = _mapq_vec(nb[has])
+    mqi = np.where(is_best, mq_read[pid], 0).astype(np.int32)
+    end1 = np.where(u_isl, u_end, d_end)
+    st1 = np.where(u_isl, u_str, d_str).astype(np.uint8)
+    end2 = np.where(u_isl, d_end, u_end)
+    st2 = np.where(u_isl, d_str, u_str).astype(np.uint8)
+    o1_beg = np.where(u_isl, u_beg, d_beg)
+    o2_beg = np.where(u_isl, d_beg, u_beg)
+    t = d_end - u_beg
+    tlen1 = np.where(o1_beg <= o2_beg, t, -t).astype(np.int64)
+    rank = np.arange(len(pid)) - bounds[:-1][pid]
+    keep = rank < 100
+    pair_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.minimum(np.diff(bounds), 100), out=pair_off[1:])
+    c = np.ascontiguousarray
+    return dict(
+        pair_off=pair_off,
+        end1=c(end1[keep], dtype=np.int64), st1=c(st1[keep]),
+        end2=c(end2[keep], dtype=np.int64), st2=c(st2[keep]),
+        tlen1=c(tlen1[keep]), mq=c(mqi[keep]),
+        proper=has.astype(np.uint8),        # rows mode: no discordant
+        u_end1=c(res.u_end1[lo:hi]), u_st1=c(res.u_st1[lo:hi]),
+        u_mq1=c(res.u_mq1[lo:hi]),
+        u_end2=c(res.u_end2[lo:hi]), u_st2=c(res.u_st2[lo:hi]),
+        u_mq2=c(res.u_mq2[lo:hi]),
+    )
+
+
 def emit_sam_pe_native(
     recs1, recs2, mapped, arrays, genome: np.ndarray, kb: int,
     n_threads: int = 3, counters=None,
@@ -291,6 +347,18 @@ def emit_sam_pe_native(
         n_threads=n_threads, counters=counters)
 
 
+def _codes_arg(codes, s_off):
+    """codes as (R, m) matrix or (flat buffer, offsets): -> (buf, offs, R, m)."""
+    if s_off is None:
+        R, m = codes.shape
+        offs = np.arange(R + 1, dtype=np.int64) * m
+        return np.ascontiguousarray(codes, dtype=np.uint8), offs, R, m
+    offs = np.ascontiguousarray(s_off, dtype=np.int64)
+    R = len(offs) - 1
+    m = int(offs[1] - offs[0]) if R else 0
+    return codes, offs, R, m
+
+
 def emit_sam_pe_soa(
     codes1: np.ndarray, names1, n1off: np.ndarray, quals1,
     q1off: np.ndarray,
@@ -298,13 +366,15 @@ def emit_sam_pe_soa(
     q2off: np.ndarray,
     soa: dict, arrays, genome: np.ndarray, kb: int,
     n_threads: int = 3, counters=None,
+    seq_offs1=None, seq_offs2=None,
 ) -> bytes:
-    """SoA-level PE emission: codes matrices + name/qual buffers with
-    per-record offset arrays (offsets are absolute into the buffers, so
-    chunk-parser slices pass through without copying)."""
+    """SoA-level PE emission: read codes as (R, m) matrices OR flat
+    parser buffers with absolute offsets (seq_offs1/2); name/qual buffers
+    likewise carry absolute per-record offsets, so chunk-parser slices
+    pass through without copying or gathering."""
     lib = _lib()
-    R, m1 = codes1.shape
-    m2 = codes2.shape[1]
+    codes1, s1off, R, m1 = _codes_arg(codes1, seq_offs1)
+    codes2, s2off, _, m2 = _codes_arg(codes2, seq_offs2)
     n1off = np.ascontiguousarray(n1off, dtype=np.int64)
     q1off = np.ascontiguousarray(q1off, dtype=np.int64)
     n2off = np.ascontiguousarray(n2off, dtype=np.int64)
@@ -320,7 +390,8 @@ def emit_sam_pe_soa(
     for _ in range(2):
         out = ctypes.create_string_buffer(cap)
         n = lib.emit_sam_pe(
-            codes1.ctypes.data, R, m1, codes2.ctypes.data, m2,
+            codes1.ctypes.data, s1off.ctypes.data, R, m1,
+            codes2.ctypes.data, s2off.ctypes.data, m2,
             _buf_arg(names1), n1off.ctypes.data,
             _buf_arg(quals1), q1off.ctypes.data,
             _buf_arg(names2), n2off.ctypes.data,

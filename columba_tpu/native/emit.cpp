@@ -467,8 +467,11 @@ void emit_range(const Ctx& cx, int32_t r0, int32_t r1, std::string& out,
 // tests/test_emit_native.py).
 
 struct PECtx {
-  const uint8_t* codes1; int32_t n_reads; int32_t m1;
-  const uint8_t* codes2; int32_t m2;
+  // read codes as flat buffers + absolute per-record offsets (parser
+  // chunk buffers pass through unsliced; a (R, m) matrix is the special
+  // case offs[r] = r*m)
+  const uint8_t* codes1; const int64_t* seq_offs1; int32_t n_reads; int32_t m1;
+  const uint8_t* codes2; const int64_t* seq_offs2; int32_t m2;
   const char* names1; const int64_t* name1_offs;
   const char* quals1; const int64_t* qual1_offs;
   const char* names2; const int64_t* name2_offs;
@@ -598,10 +601,10 @@ void emit_pe_range(const PECtx& cx, int32_t r0, int32_t r1,
     const char* name2 = cx.names2 + cx.name2_offs[r];
     const int name2_len = (int)(cx.name2_offs[r + 1] - cx.name2_offs[r]);
     bool have_rc1 = false, have_rc2 = false;
-    PESide side1{cx.codes1 + (size_t)r * cx.m1, cx.m1, &rc1, &have_rc1,
+    PESide side1{cx.codes1 + cx.seq_offs1[r], cx.m1, &rc1, &have_rc1,
                  cx.quals1 + cx.qual1_offs[r],
                  (int)(cx.qual1_offs[r + 1] - cx.qual1_offs[r])};
-    PESide side2{cx.codes2 + (size_t)r * cx.m2, cx.m2, &rc2, &have_rc2,
+    PESide side2{cx.codes2 + cx.seq_offs2[r], cx.m2, &rc2, &have_rc2,
                  cx.quals2 + cx.qual2_offs[r],
                  (int)(cx.qual2_offs[r + 1] - cx.qual2_offs[r])};
     const int64_t P0 = cx.pair_off[r], P1 = cx.pair_off[r + 1];
@@ -744,8 +747,9 @@ int64_t emit_sam_se(
 // side (u_end < 0 means unmapped record). Returns bytes written, or
 // -(needed) when out_cap is too small. stats[0] += tracebacks run.
 int64_t emit_sam_pe(
-    const uint8_t* codes1, int32_t n_reads, int32_t m1,
-    const uint8_t* codes2, int32_t m2,
+    const uint8_t* codes1, const int64_t* seq_offs1, int32_t n_reads,
+    int32_t m1,
+    const uint8_t* codes2, const int64_t* seq_offs2, int32_t m2,
     const char* names1, const int64_t* name1_offs,
     const char* quals1, const int64_t* qual1_offs,
     const char* names2, const int64_t* name2_offs,
@@ -762,7 +766,7 @@ int64_t emit_sam_pe(
     const char* seqnames, const int64_t* seqname_offs,
     int32_t kb, int32_t n_threads,
     char* out_buf, int64_t out_cap, int64_t* stats) {
-  PECtx cx{codes1, n_reads, m1, codes2, m2,
+  PECtx cx{codes1, seq_offs1, n_reads, m1, codes2, seq_offs2, m2,
            names1, name1_offs, quals1, qual1_offs,
            names2, name2_offs, quals2, qual2_offs,
            pair_off, p_end1, p_strand1, p_end2, p_strand2, p_tlen1, p_mq,

@@ -273,18 +273,75 @@ def _dispatch_side(index, reads, cut, cfg, kmer_table):
         switchpoint=cfg.switchpoint)
 
 
+@dataclass
+class PERowsBest:
+    """Array-native PE BEST result of one batch: concordant kept rows
+    (emission-sorted per read) + per-read unpaired fallbacks. The fast
+    emission path (emit.pe_soa_from_rows -> native emit_sam_pe) consumes
+    this directly — no per-pair Python objects anywhere."""
+
+    n: int
+    rows: object                 # pairing.PairRows, sorted (pair_id, total, u_begin)
+    u_end1: np.ndarray           # (n,) int64, -1 = no unpaired occ (unmapped)
+    u_st1: np.ndarray
+    u_mq1: np.ndarray
+    u_end2: np.ndarray
+    u_st2: np.ndarray
+    u_mq2: np.ndarray
+
+
+def _mapq_vec(nb: np.ndarray) -> np.ndarray:
+    """Vectorized sam.mapq (round-half-even like Python round())."""
+    mq = np.full(nb.shape, 60, dtype=np.int32)
+    mask = nb > 1
+    if mask.any():
+        v = -10.0 * np.log10(1.0 - 1.0 / nb[mask])
+        mq[mask] = np.minimum(60, np.round(v)).astype(np.int32)
+    return mq
+
+
+def _best_unpaired_arrays(occ, n: int):
+    """Per-read best unpaired occurrence (min by (distance, begin), ties
+    keep array order) + MAPQ over the best-distance count — vectorized
+    mirror of the emitter's unpaired fallback."""
+    u_end = np.full(n, -1, dtype=np.int64)
+    u_st = np.zeros(n, dtype=np.uint8)
+    u_mq = np.zeros(n, dtype=np.int32)
+    if len(occ):
+        order = np.lexsort((occ.begin, occ.distance, occ.read_id))
+        rid = occ.read_id[order]
+        first = np.searchsorted(rid, np.arange(n), side="left")
+        safe = np.minimum(first, len(rid) - 1)
+        has = (first < len(rid)) & (rid[safe] == np.arange(n))
+        bi = order[safe]
+        bd = np.zeros(n, dtype=np.int64)
+        bd[has] = occ.distance[bi][has]
+        nb = np.bincount(occ.read_id[occ.distance == bd[occ.read_id]],
+                         minlength=n)
+        u_end[has] = occ.end[bi][has]
+        u_st[has] = occ.strand[bi][has].astype(np.uint8)
+        u_mq[has] = _mapq_vec(nb[has])
+    return u_end, u_st, u_mq
+
+
 def map_pairs_best_finish(
     handle,
     cfg: strategy.MappingConfig,
     pcfg: PairedConfig,
     seq_starts: np.ndarray,
     counters=None,
-) -> list[MappedPair]:
-    """Fetch + array-pair a dispatched PE BEST batch -> MappedPair list,
-    escalating unresolved reads through the remaining rungs (pair objects
-    built only for the emitted records)."""
+    as_rows: bool = False,
+):
+    """Fetch + array-pair a dispatched PE BEST batch, escalating
+    unresolved reads through the remaining rungs.
+
+    Returns a MappedPair list, or (``as_rows=True``) a PERowsBest with no
+    per-pair Python objects — None in rows mode when the batch needs the
+    object path (deep-cutoff ladder, discordant pairing)."""
     if handle["mode"] == "ladder":
-        return handle["mapped"]
+        return None if as_rows else handle["mapped"]
+    if as_rows and pcfg.discordant:
+        return None
     from columba_tpu.search import pairing
 
     reads1, reads2 = handle["reads1"], handle["reads2"]
@@ -296,7 +353,8 @@ def map_pairs_best_finish(
     sub_ids = np.arange(R)
     pr1, pr2 = reads1, reads2     # dispatched (possibly padded) reads
     ctx1, ctx2 = handle["ctx1"], handle["ctx2"]
-    out = [MappedPair() for _ in range(R)]
+    out = None if as_rows else [MappedPair() for _ in range(R)]
+    rows_res: PERowsBest | None = None
     final_rows: list = []
     for ri, (c1, c2) in enumerate(rungs):
         occs = []
@@ -334,8 +392,12 @@ def map_pairs_best_finish(
             rows.pair_id = sub_ids[rows.pair_id]
             final_rows.append(rows)
         if last:
-            _fill_pairless(out, sub_ids, best, occ1, occ2, tot_cut, x,
-                           pcfg)
+            if as_rows:
+                rows_res = _pairless_rows(R, sub_ids, best, occ1, occ2,
+                                          tot_cut, x)
+            else:
+                _fill_pairless(out, sub_ids, best, occ1, occ2, tot_cut,
+                               x, pcfg)
             break
         esc = np.nonzero(~final)[0]
         if not len(esc):
@@ -352,8 +414,46 @@ def map_pairs_best_finish(
         ctx2 = _dispatch_side(handle["index"], pr2, c2n, cfg,
                               handle["kmer_table"])
     kept_all = pairing.sort_pairs(pairing.PairRows.concat(final_rows))
+    if as_rows:
+        if rows_res is None:          # every read finalized pre-last-rung
+            rows_res = _pairless_rows(R, np.zeros(0, np.int64),
+                                      np.zeros(0, np.int64),
+                                      pipeline.OccArray.empty(),
+                                      pipeline.OccArray.empty(),
+                                      tot_cut, x)
+        rows_res.rows = kept_all
+        return rows_res
     _fill_paired(out, kept_all, R)
     return out
+
+
+def _pairless_rows(R: int, sub_ids: np.ndarray, best: np.ndarray,
+                   occ1, occ2, tot_cut: int, x: int) -> PERowsBest:
+    """Vectorized unpaired fallbacks (see _fill_pairless; discordant is
+    handled by the object path only). occ1/occ2 carry subset-local ids."""
+    from columba_tpu.search import pairing
+
+    res = PERowsBest(
+        n=R, rows=pairing.PairRows.empty(),
+        u_end1=np.full(R, -1, np.int64), u_st1=np.zeros(R, np.uint8),
+        u_mq1=np.zeros(R, np.int32),
+        u_end2=np.full(R, -1, np.int64), u_st2=np.zeros(R, np.uint8),
+        u_mq2=np.zeros(R, np.int32))
+    pairless = np.nonzero(best > tot_cut)[0]
+    if not len(pairless):
+        return res
+    nsub = len(sub_ids)
+    sel = np.zeros(nsub, dtype=bool)
+    sel[pairless] = True
+    gids = sub_ids[pairless]          # global read ids of pairless reads
+    for occ, ue, us, um in ((occ1, res.u_end1, res.u_st1, res.u_mq1),
+                            (occ2, res.u_end2, res.u_st2, res.u_mq2)):
+        sub = occ.take(sel[occ.read_id])
+        e, s, q = _best_unpaired_arrays(sub, nsub)
+        ue[gids] = e[pairless]
+        us[gids] = s[pairless]
+        um[gids] = q[pairless]
+    return res
 
 
 _pad_pow2 = strategy._pad_pow2

@@ -213,3 +213,46 @@ def test_paired_end_variable_read_lengths(workload):
     assert order == sorted(order)
     proper = sum(1 for ln in lines if int(ln.split("\t")[1]) & 2)
     assert proper >= 2 * n - 2
+
+
+def test_paired_best_rows_vs_python_parity(workload, monkeypatch):
+    """PE BEST through the CLI: the array-native rows path (native parse +
+    PERowsBest + native emit) must produce byte-identical SAM to the
+    pure-Python object path (COLUMBA_TPU_NO_NATIVE)."""
+    from columba_tpu.core import alphabet
+    from columba_tpu.io import fastq
+
+    wd, idx, _ = workload
+    rng = np.random.default_rng(77)
+    genome = next(iter(fastq.parse_reads(str(wd / "g.fa")))).codes
+    i2c = "ACGT"
+    m, frag, n = 64, 220, 40
+    with open(wd / "b1.fq", "w") as f1, open(wd / "b2.fq", "w") as f2:
+        for i in range(n):
+            s = int(rng.integers(0, len(genome) - frag - 1))
+            r1 = genome[s:s + m].copy()
+            r2 = alphabet.revcomp(genome[s + frag - m:s + frag]).copy()
+            for r in (r1, r2):        # noise incl. some garbage pairs
+                for _ in range(int(rng.integers(0, 3))):
+                    r[int(rng.integers(0, m))] = rng.integers(0, 4)
+            if i % 9 == 0:
+                r1 = rng.integers(0, 4, m)
+            f1.write(f"@b{i}\n{''.join(i2c[c] for c in r1)}\n+\n{'I'*m}\n")
+            f2.write(f"@b{i}\n{''.join(i2c[c] for c in r2)}\n+\n{'I'*m}\n")
+    argv = ["align", "-r", idx, "-f", str(wd / "b1.fq"),
+            "-F", str(wd / "b2.fq"), "-a", "best", "-b", "16",
+            "--no-inferring", "-N", "100", "-X", "320"]
+    out_n = str(wd / "pe_native.sam")
+    rc = cli.main(argv + ["-o", out_n])
+    assert rc == 0
+    # pure-Python path in a subprocess (native kill switch is read at
+    # module import time by cached loaders)
+    import subprocess
+    import sys
+
+    out_p = str(wd / "pe_python.sam")
+    env = dict(os.environ, COLUMBA_TPU_NO_NATIVE="1")
+    subprocess.run([sys.executable, "-m", "columba_tpu.cli"]
+                   + argv + ["-o", out_p], check=True, env=env,
+                   capture_output=True, timeout=600)
+    assert _body(out_n) == _body(out_p)
