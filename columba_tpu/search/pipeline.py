@@ -489,6 +489,7 @@ def match_all_start(
     ex_split: int = 0,
     ex_cap: int = 0,
     host_arrays=None,
+    _force_scheme_path: bool = False,
 ) -> tuple[OccArray, dict]:
     """ALL-mode matching of a read batch: every occurrence with ed <= k.
 
@@ -542,13 +543,18 @@ def match_all_start(
         # per run on the 20x pan genome before this hint existed
         max_locate = max(1 << 16, 4 * batch.shape[0], _ml_hint_get(index))
 
-    if k == 0:
-        # async dispatch: the fetch (+ lossless spill retries) happens in
-        # match_all_finish, so a k=0 start does NOT block the dispatch
-        # thread on device completion — the BEST rung-0 pass and the PE
-        # rung-0 sides rely on this to pipeline with emission (measured:
-        # the synchronous fetch here serialized 2.1s of device wait into
-        # the PE dispatch thread per 50k-pair chunk)
+    if (k == 0 and not _force_scheme_path
+            and (kmer_table is None or switchpoint <= 0)):
+        # plain-scan fallback: without a seed table or with the crossover
+        # off, the dedicated exact pass is the best shape. With both
+        # available, k=0 runs through the scheme executor instead (below):
+        # the 12-mer seed + in-text crossover replace most of the m-step
+        # backward FM scan with a short ranked scan + text verify
+        # (measured 16384x100bp: 315 ms -> ~180 ms, identical output).
+        # Async dispatch either way: the fetch (+ lossless spill retries)
+        # happens in match_all_finish, so a k=0 start does NOT block the
+        # dispatch thread on device completion — the BEST rung-0 pass and
+        # the PE rung-0 sides rely on this to pipeline with emission.
         out = _exact_device(index, batch_dev, int(max_locate))
         return dict(exact=dict(out=out, batch=batch_dev, R=R,
                                max_locate=max_locate,
