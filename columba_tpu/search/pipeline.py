@@ -509,13 +509,15 @@ def match_all_start(
 
     if getattr(index, "textless", False):
         if isinstance(scheme, (list, tuple)):
-            raise NotImplementedError(
-                "textless RLC: dynamic scheme selection needs the exact-"
-                "range probe; use a single scheme (-nD)")
-        if k == 0:
-            raise NotImplementedError(
-                "textless RLC: use k >= 1 (the k=0 fast path locates via "
-                "the strided samples the textless flavor drops)")
+            # per-read selection is perf-only (every scheme in a
+            # collection is lossless at k, so the reported set is
+            # identical); the textless flavor runs the collection's first
+            # scheme instead of the probe + masked combined pass
+            scheme = scheme[0]
+            k = scheme.k
+        # k == 0 runs the exact scheme through the same frontier-only
+        # pass: done lanes carry toeholds, phi enumerates the range, and
+        # with no indels the extent start IS the exact begin
         if host_arrays is None or getattr(host_arrays, "phi_fwd",
                                           None) is None:
             raise ValueError("textless RLC matching needs host_arrays "

@@ -274,3 +274,34 @@ def test_textless_index_bytes_scale_with_runs(rng):
     r = tl.meta["runs_fwd"]
     n = len(genome)
     assert r < n / 64
+
+
+def test_textless_k0_and_collection_collapse(pair, rng):
+    """Round-5 refusal lifts: k=0 exact matching runs through the
+    frontier-only textless pass (begins exact — no indels), and a scheme
+    COLLECTION collapses to its first scheme (selection is perf-only)."""
+    from columba_tpu.search import pipeline
+    from columba_tpu.search.scheme import get_scheme
+
+    genome, fm, bm = pair
+    arrays_tl = build_bmove_from_codes(genome, textless=True)
+    tl = BMoveIndex.from_arrays(arrays_tl)
+    reads = sample_reads(rng, genome, num=10, length=60, max_err=0)
+    o_ref, _ = pipeline.match_all(bm, reads, get_scheme("kuch1", 0),
+                                  metric="edit", redundancy_filter=False)
+    o_tl, _ = pipeline.match_all(tl, reads, get_scheme("kuch1", 0),
+                                 metric="edit", host_arrays=arrays_tl)
+    a = set(zip(o_ref.read_id, o_ref.strand, o_ref.begin))
+    b = set(zip(o_tl.read_id, o_tl.strand, o_tl.begin))
+    assert a == b and len(a) >= 10
+    # collection -> first scheme, same result set as that scheme alone
+    k = 2
+    reads2 = sample_reads(rng, genome, num=8, length=60, max_err=k,
+                          edits=True)
+    coll = [get_scheme("kuch1", k), get_scheme("kuch1", k).mirrored()]
+    o_c, _ = pipeline.match_all(tl, reads2, coll, metric="edit",
+                                host_arrays=arrays_tl)
+    o_s, _ = pipeline.match_all(tl, reads2, get_scheme("kuch1", k),
+                                metric="edit", host_arrays=arrays_tl)
+    assert (set(zip(o_c.read_id, o_c.strand, o_c.begin, o_c.distance))
+            == set(zip(o_s.read_id, o_s.strand, o_s.begin, o_s.distance)))
