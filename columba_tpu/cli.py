@@ -641,63 +641,11 @@ def _align_paired(args, arrays, index, cfg, kmer_table):
     # in maximal same-shape runs, so output order matches the input.
     CHUNK = max(8 * B, 65536)
 
-    def _recs_to_soa(recs):
-        """ReadRecord list -> flat SoA chunk (generic-reader fallback)."""
-        from columba_tpu.io import emit as _emit
-
-        seq_offs = np.zeros(len(recs) + 1, np.int64)
-        np.cumsum([len(r.codes) for r in recs], out=seq_offs[1:])
-        codes = (np.concatenate([r.codes for r in recs])
-                 if recs else np.zeros(0, np.uint8))
-        names, name_offs = _emit.pack_strings([r.name for r in recs])
-        quals, qual_offs = _emit.pack_strings([r.qual for r in recs])
-        return dict(n=len(recs), codes=codes.astype(np.uint8, copy=False),
-                    seq_offs=seq_offs,
-                    names=np.frombuffer(names, np.uint8),
-                    name_offs=name_offs,
-                    quals=np.frombuffer(quals, np.uint8),
-                    qual_offs=qual_offs, lens=np.diff(seq_offs))
-
-    def _is_fasta(path):
-        import gzip as _gzip
-
-        f = (_gzip.open(path, "rb") if path.endswith(".gz")
-             else open(path, "rb"))
-        with f:
-            return f.read(1) == b">"
-
     def chunks_of_pairs():
-        """Yield lockstep (soa1, soa2) chunks of CHUNK pairs. Native
-        chunked parsing when available (measured: the Python record
-        parser cost ~2s per 50k-pair chunk — a third of the whole PE
-        run); ReadRecord fallback for FASTA / no toolchain."""
-        if (fastq.native_reader_available() and not _is_fasta(args.reads)
-                and not _is_fasta(args.reads2)):
-            r1 = fastq.SoaReader(args.reads)
-            r2 = fastq.SoaReader(args.reads2)
-            try:
-                while True:
-                    c1 = r1.take(CHUNK)
-                    c2 = r2.take(CHUNK)
-                    if c1 is None and c2 is None:
-                        return
-                    if c1 is None or c2 is None or c1["n"] != c2["n"]:
-                        raise ValueError("read files must pair up")
-                    yield c1, c2
-            finally:
-                r1.close()
-                r2.close()
-            return
-        it1 = fastq.parse_reads(args.reads)
-        it2 = fastq.parse_reads(args.reads2)
-        while True:
-            c1 = list(itertools.islice(it1, CHUNK))
-            c2 = list(itertools.islice(it2, CHUNK))
-            if len(c1) != len(c2):
-                raise ValueError("read files must pair up")
-            if not c1:
-                return
-            yield _recs_to_soa(c1), _recs_to_soa(c2)
+        """Lockstep SoA chunks (native chunked parsing when available —
+        measured: the Python record parser cost ~2s per 50k-pair chunk, a
+        third of the whole PE run)."""
+        return fastq.pe_soa_chunks(args.reads, args.reads2, CHUNK)
 
     def group_k(m):
         if args.mode == "all":
@@ -953,9 +901,7 @@ def _align_blocked(args):
     )
 
     if args.reads2 is not None:
-        raise SystemExit(
-            "blocked index: paired-end mapping is not supported yet; map "
-            "each side single-ended or build per-block indexes")
+        return _align_blocked_paired(args)
     compile_cache.enable()
     logger.verbose = args.verbose
     if args.log_file:
@@ -1065,6 +1011,180 @@ def _align_blocked(args):
         file=sys.stderr,
     )
     ctrs.report(logger, paired=False)
+    return 0
+
+
+def _align_blocked_paired(args):
+    """Paired-end alignment against a block-partitioned index.
+
+    Each side is mapped ALL-mode per block at its FULL cutoff, occurrence
+    sets merged across blocks per chunk, and pairing runs ONCE on the
+    merged sides (paired.pair_merged — the single-pass BEST equivalence
+    argument applies verbatim to the union across blocks, and rung
+    escalation cannot run per block because rung finality needs global
+    per-side completeness). Emission uses the lazy global view, so host
+    memory stays bounded by one block's index + the occurrence volume.
+    Reference analogue: PE over its monolithic 64-bit/Big-BWT indexes
+    (src/searchstrategy.cpp:1091-1179; build src/bmove/columba_build_pfp.sh).
+    """
+    import numpy as np
+
+    from columba_tpu import compile_cache
+    from columba_tpu.counters import Counters
+    from columba_tpu.index import blocked
+    from columba_tpu.index.fmindex import FMIndex
+    from columba_tpu.io import fastq, sam
+    from columba_tpu.logger import logger
+    from columba_tpu.search import paired, pipeline, strategy
+    from columba_tpu.search.strategy import (
+        MappingConfig, get_max_ed, max_supported_k,
+    )
+
+    compile_cache.enable()
+    logger.verbose = args.verbose
+    if args.log_file:
+        logger.set_log_file(args.log_file)
+    meta = blocked.load_blocked_meta(args.index)
+    t0 = time.time()
+    B = args.batch_size
+    CHUNK = max(8 * B, 65536)
+    ctrs = Counters()
+
+    pcfg = paired.PairedConfig(
+        orientation=args.orientation,
+        min_insert=args.min_insert_size,
+        max_insert=args.max_insert_size,
+        infer=not args.no_inferring,
+        discordant=args.discordant is not None,
+        max_discordant=(args.discordant if args.discordant is not None
+                        else 100000),
+    )
+
+    def chunks():
+        return fastq.pe_soa_chunks(args.reads, args.reads2, CHUNK)
+
+    def cut_for(m):
+        if args.mode == "all":
+            return args.max_distance
+        return get_max_ed(args.min_identity, m,
+                          max(max_supported_k(args.scheme, m, args.metric),
+                              1))
+
+    def pair_keys(c1, c2):
+        return (c1["lens"].astype(np.int64) << 32) | c2["lens"]
+
+    kmer_k = max(0, min(int(args.kmer_size), 13))
+    per_chunk: list = []          # [ [occ1 parts], [occ2 parts] ] per chunk
+    for blk_i, (bm, arrays) in enumerate(blocked.iter_blocks(args.index,
+                                                             meta)):
+        index = FMIndex.from_arrays(arrays)
+        kmer_table = None
+        if not args.no_kmer_table and kmer_k > 0:
+            from columba_tpu.index.kmer import build_kmer_table_cached
+
+            kmer_table = build_kmer_table_cached(
+                index, kmer_k, os.path.join(args.index, bm["dir"]))
+        cfg = MappingConfig(
+            scheme_name=args.scheme, metric=args.metric, mode=args.mode,
+            max_distance=args.max_distance, best_plus_x=args.best_plus_x,
+            min_identity=args.min_identity, capacity=args.capacity,
+            kmer_table=kmer_table, partitioning=args.partitioning,
+            switchpoint=args.in_text, arrays=arrays,
+        )
+        off = int(bm["text_offset"])
+        for ci, (c1, c2) in enumerate(chunks()):
+            if blk_i == 0:
+                per_chunk.append([[], []])
+            if blk_i == 0 and ci == 0 and pcfg.infer:
+                # inference against block 0 only (block-local positions
+                # are fine for fragment-size statistics)
+                keys = pair_keys(c1, c2)
+                vals, counts = np.unique(keys, return_counts=True)
+                keyv = int(vals[np.argmax(counts)])
+                idxs = np.nonzero(keys == keyv)[0]
+                g1 = fastq.soa_gather_codes(c1, idxs, keyv >> 32)
+                g2 = fastq.soa_gather_codes(c2, idxs, keyv & 0xffffffff)
+                pcfg = paired.infer_parameters(
+                    index, g1, g2, cfg, arrays.seq_starts, kmer_table,
+                    pcfg_in=pcfg)
+                logger.verbose_msg(
+                    f"inferred (block 0) orientation={pcfg.orientation} "
+                    f"insert=[{pcfg.min_insert},{pcfg.max_insert}]")
+            keys = pair_keys(c1, c2)
+            for keyv in np.unique(keys):
+                idxs = np.nonzero(keys == keyv)[0]
+                m1, m2 = int(keyv >> 32), int(keyv & 0xffffffff)
+                for side, soa, m in ((0, c1, m1), (1, c2, m2)):
+                    cut = cut_for(m)
+                    kbs = cut if args.metric == "edit" else 0
+                    g = fastq.soa_gather_codes(soa, idxs, m)
+                    for o in range(0, len(idxs), B):
+                        sub = g[o:o + B]
+                        occ, stats = pipeline.match_all(
+                            index, sub, strategy._scheme_for(cfg, cut),
+                            metric=args.metric, kmer_table=kmer_table,
+                            partitioning=args.partitioning,
+                            switchpoint=args.in_text)
+                        ctrs.add_device_stats(stats)
+                        occ = pipeline.apply_boundary_trim(
+                            occ, sub, arrays, kbs, cut)
+                        occ.read_id = idxs[o:o + B][occ.read_id]
+                        occ.begin = occ.begin + off
+                        occ.end = occ.end + off
+                        per_chunk[ci][side].append(occ)
+        del index, kmer_table, arrays, cfg
+        logger.verbose_msg(f"block {bm['dir']} mapped (PE) "
+                           f"({time.time() - t0:.1f}s)")
+
+    view = blocked.make_view(args.index, meta)
+    n_pairs = 0
+    with open(args.output, "w") as out:
+        out.write(sam.header(view.seq_names,
+                             list(np.diff(view.seq_starts)),
+                             command_line=" ".join(sys.argv)))
+        for ci, (c1, c2) in enumerate(chunks()):
+            n = c1["n"]
+            occ1 = pipeline.OccArray.concat(per_chunk[ci][0])
+            occ2 = pipeline.OccArray.concat(per_chunk[ci][1])
+            keys = pair_keys(c1, c2)
+            cuts = {int(kv): (cut_for(int(kv) >> 32),
+                              cut_for(int(kv) & 0xffffffff))
+                    for kv in np.unique(keys)}
+            tot_cut = max(a + b for a, b in cuts.values())
+            mapped = paired.pair_merged(
+                occ1, occ2, n, args.mode, pcfg, view.seq_starts,
+                tot_cut, int(args.best_plus_x))
+            for mp in mapped:
+                ctrs.number_of_reads += 2
+                ctrs.total_unique_pairs += len(mp.pairs)
+                if mp.pairs:
+                    ctrs.mapped_pairs += 1
+                elif mp.discordant:
+                    ctrs.discordantly_mapped_pairs += 1
+                elif mp.unpaired1 and mp.unpaired2:
+                    ctrs.unpaired_but_mapped_pairs += 1
+                elif mp.unpaired1 or mp.unpaired2:
+                    ctrs.mapped_half_pairs += 1
+            i = 0
+            while i < n:
+                keyv = keys[i]
+                j = i + 1
+                while j < n and keys[j] == keyv:
+                    j += 1
+                cut1, _cut2 = cuts[int(keyv)]
+                kb = cut1 if args.metric == "edit" else 0
+                out.writelines(paired.emit_sam_paired(
+                    fastq.soa_records(c1, i, j), fastq.soa_records(c2, i, j),
+                    mapped[i:j], view, kb, counters=ctrs))
+                i = j
+            n_pairs += n
+            rate = n_pairs / max(time.time() - t0, 1e-9)
+            print(f"[columba_tpu] {n_pairs} pairs emitted "
+                  f"({rate:,.0f} pairs/s incl. mapping)", file=sys.stderr)
+    print(f"[columba_tpu] done: {n_pairs} pairs over "
+          f"{len(meta['blocks'])} blocks, total {time.time() - t0:.1f}s",
+          file=sys.stderr)
+    ctrs.report(logger, paired=True)
     return 0
 
 

@@ -400,6 +400,66 @@ def soa_gather_codes(soa: dict, idx: np.ndarray, m: int) -> np.ndarray:
         soa["codes"][base[:, None] + np.arange(m)[None, :]])
 
 
+def records_to_soa(recs: list) -> dict:
+    """ReadRecord list -> flat SoA chunk (generic-reader fallback for the
+    paired-end SoA pipeline)."""
+    from columba_tpu.io import emit as _emit
+
+    seq_offs = np.zeros(len(recs) + 1, np.int64)
+    np.cumsum([len(r.codes) for r in recs], out=seq_offs[1:])
+    codes = (np.concatenate([r.codes for r in recs])
+             if recs else np.zeros(0, np.uint8))
+    names, name_offs = _emit.pack_strings([r.name for r in recs])
+    quals, qual_offs = _emit.pack_strings([r.qual for r in recs])
+    return dict(n=len(recs), codes=codes.astype(np.uint8, copy=False),
+                seq_offs=seq_offs,
+                names=np.frombuffer(names, np.uint8),
+                name_offs=name_offs,
+                quals=np.frombuffer(quals, np.uint8),
+                qual_offs=qual_offs, lens=np.diff(seq_offs))
+
+
+def pe_soa_chunks(path1: str, path2: str, chunk: int):
+    """Yield lockstep (soa1, soa2) chunks of ``chunk`` pairs, in file
+    order — native chunked parsing when available, ReadRecord fallback
+    for FASTA / no toolchain. Deterministic across passes (the blocked
+    aligner re-runs it once per block)."""
+    import itertools
+
+    def is_fasta(path):
+        f = (gzip.open(path, "rb") if path.endswith(".gz")
+             else open(path, "rb"))
+        with f:
+            return f.read(1) == b">"
+
+    if (native_reader_available() and not is_fasta(path1)
+            and not is_fasta(path2)):
+        r1, r2 = SoaReader(path1), SoaReader(path2)
+        try:
+            while True:
+                c1 = r1.take(chunk)
+                c2 = r2.take(chunk)
+                if c1 is None and c2 is None:
+                    return
+                if c1 is None or c2 is None or c1["n"] != c2["n"]:
+                    raise ValueError("read files must pair up")
+                yield c1, c2
+        finally:
+            r1.close()
+            r2.close()
+        return
+    it1 = parse_reads(path1)
+    it2 = parse_reads(path2)
+    while True:
+        c1 = list(itertools.islice(it1, chunk))
+        c2 = list(itertools.islice(it2, chunk))
+        if len(c1) != len(c2):
+            raise ValueError("read files must pair up")
+        if not c1:
+            return
+        yield records_to_soa(c1), records_to_soa(c2)
+
+
 def soa_records(soa: dict, lo: int, hi: int) -> list:
     """ReadRecord list for records [lo, hi) (Python-emitter fallback)."""
     out = []

@@ -517,6 +517,40 @@ def _fill_pairless(out: list, sub_ids: np.ndarray, best: np.ndarray,
                             [o for o in occs_i if o.distance <= b + x])
 
 
+def pair_merged(
+    occ1, occ2, R: int, mode: str,
+    pcfg: PairedConfig, seq_starts: np.ndarray,
+    tot_cut: int, x: int,
+) -> list[MappedPair]:
+    """Pair two sides' merged occurrence sets (chunk-local read ids) —
+    the blocked-index PE path: each side is mapped ALL-mode per block at
+    the full cutoff, merged across blocks, and paired here once (the
+    single-pass BEST equivalence argument of map_pairs_best_start applies
+    to the union across blocks verbatim)."""
+    from columba_tpu.search import pairing
+
+    for occ in (occ1, occ2):
+        if len(occ):
+            o = np.lexsort((occ.begin, occ.strand, occ.read_id))
+            occ.read_id, occ.strand, occ.begin, occ.end, occ.distance = (
+                occ.read_id[o], occ.strand[o], occ.begin[o], occ.end[o],
+                occ.distance[o])
+    cand = pairing.concordant_pairs(occ1, occ2, pcfg.orientation,
+                                    pcfg.min_insert, pcfg.max_insert,
+                                    seq_starts)
+    if mode == "all":
+        cand = pairing.sort_pairs(cand)
+        best = np.full(R, np.iinfo(np.int64).max - 1, dtype=np.int64)
+        if len(cand):
+            np.minimum.at(best, cand.pair_id, cand.total)
+        return _rows_to_mapped_all(cand, best, occ1, occ2, R, pcfg)
+    kept, best = pairing.best_filter(cand, R, tot_cut, x)
+    out = [MappedPair() for _ in range(R)]
+    _fill_paired(out, pairing.sort_pairs(kept), R)
+    _fill_pairless(out, np.arange(R), best, occ1, occ2, tot_cut, x, pcfg)
+    return out
+
+
 def map_pairs_best(
     index,
     reads1: np.ndarray,

@@ -101,3 +101,59 @@ def test_rhs_parity(workload):
     cli.main(["align", "-r", mono, "-o", out_m] + base)
     cli.main(["align", "-r", blk, "-o", out_b] + base)
     assert sorted(open(out_b)) == sorted(open(out_m))
+
+
+@pytest.fixture(scope="module")
+def pe_workload(workload):
+    """FR pairs spanning all 4 sequences (fragment 250) + 2 junk pairs."""
+    wd, mono, blk, _ = workload
+    rng = np.random.default_rng(31)
+    seqs = []
+    cur = None
+    for ln in open(wd / "g.fa"):
+        if ln.startswith(">"):
+            cur = []
+            seqs.append(cur)
+        else:
+            cur.append(ln.strip())
+    seqs = ["".join(s) for s in seqs]
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    frag, m = 250, 80
+    f1, f2 = wd / "p1.fq", wd / "p2.fq"
+    with open(f1, "w") as a, open(f2, "w") as b:
+        for i in range(24):
+            si = i % 4
+            p = int(rng.integers(0, len(seqs[si]) - frag - 1))
+            up = list(seqs[si][p:p + m])
+            dn = seqs[si][p + frag - m:p + frag]
+            dn = [comp[c] for c in reversed(dn)]
+            for r in (up, dn):
+                for _ in range(int(rng.integers(0, 2))):
+                    r[int(rng.integers(0, m))] = "ACGT"[
+                        int(rng.integers(0, 4))]
+            a.write(f"@p{i}\n{''.join(up)}\n+\n{'I' * m}\n")
+            b.write(f"@p{i}\n{''.join(dn)}\n+\n{'I' * m}\n")
+        for i in range(24, 26):   # junk
+            a.write(f"@p{i}\n{''.join(rng.choice(list('ACGT'), m))}\n+\n"
+                    f"{'I' * m}\n")
+            b.write(f"@p{i}\n{''.join(rng.choice(list('ACGT'), m))}\n+\n"
+                    f"{'I' * m}\n")
+    return str(f1), str(f2)
+
+
+@pytest.mark.parametrize("mode", ["all", "best"])
+def test_blocked_pe_parity(workload, pe_workload, mode):
+    """PE against the blocked index == PE against the monolithic index
+    (occurrences merged across blocks before the single pairing pass)."""
+    wd, mono, blk, _ = workload
+    f1, f2 = pe_workload
+    om = str(wd / f"pe_mono_{mode}.sam")
+    ob = str(wd / f"pe_blk_{mode}.sam")
+    base = ["-f", f1, "-F", f2, "-a", mode, "--no-inferring",
+            "-O", "fr", "-N", "150", "-X", "350", "-b", "16"]
+    if mode == "all":
+        base += ["-e", "2"]
+    assert cli.main(["align", "-r", mono, "-o", om] + base) == 0
+    assert cli.main(["align", "-r", blk, "-o", ob] + base) == 0
+    assert _sq(om) == _sq(ob)
+    assert _body(om) == _body(ob)
