@@ -57,12 +57,18 @@ class FrontierResult:
     itv_count: jax.Array  # () int32 valid rows (clamped to M)
     searches_started: jax.Array = 0  # () int32 searches entering the band
                                      # phase (reference SEARCH_STARTED)
+    arg_b: jax.Array = 0  # (C,) int8 back depth (mod 64) of the final back
+                          # window's minimum (track_arg runs; -1 = no
+                          # back window) — textless exact begins
+    live_hist: jax.Array = 0  # (T,) int32 live lanes per band step
+                              # (COLUMBA_TPU_STEP_STATS profiling builds)
 
 
 jax.tree_util.register_dataclass(
     FrontierResult,
     data_fields=["ranges", "rid", "sid", "ed_lb", "done", "overflow",
-                 "nodes_visited", "itv", "itv_count", "searches_started"],
+                 "nodes_visited", "itv", "itv_count", "searches_started",
+                 "arg_b", "live_hist"],
     meta_fields=[],
 )
 
@@ -239,6 +245,7 @@ def run_scheme(
     tables: dict | None = None,
     ex_split: int = 0,
     ex_cap: int = 0,
+    track_arg: bool = False,
 ) -> FrontierResult:
     """Execute one compiled scheme over a read batch.
 
@@ -274,6 +281,17 @@ def run_scheme(
         T = dyn["meta"].shape[1]
         E = dyn["ex_pos"].shape[1]
         W = 1
+
+    # track_arg (textless exact begins): each colMin register carries a
+    # shadow int8 slot holding the back depth (mod 64) at which its value
+    # last strictly decreased — the batched analogue of the reference's
+    # matchedStr length per DFS leaf (src/indexinterface.h:294-304). The
+    # shadow slots ride in the colmin byte region at [W, 2W) per side, so
+    # the packing layout machinery is untouched; compiled only into the
+    # textless variant (default paths pay nothing).
+    if track_arg and dyn is not None:
+        raise NotImplementedError("track_arg with parametric schedules")
+    Wp = 2 * W if track_arg else W
 
     rw = index.range_width if hasattr(index, "range_width") else 4
     if rw != 4 and kmer_table is not None:
@@ -537,12 +555,16 @@ def run_scheme(
     else:
         band_init = jnp.tile(tables["band_init"], (R, 1, 1))
         colmin_init = jnp.tile(tables["colmin_init"], (R, 1, 1))
+    if track_arg:
+        colmin_init = jnp.concatenate(
+            [colmin_init, jnp.zeros(colmin_init.shape[:-1] + (W,),
+                                    colmin_init.dtype)], axis=-1)
     state = _pack_state(
         take0(ranges0, 0),
         take0(ids0, 0),
         take0(band_init, INF),
         take0(colmin_init, INF),
-        bw, W,
+        bw, Wp,
     )
     visits0 = jnp.zeros((), jnp.int32)
 
@@ -564,8 +586,8 @@ def run_scheme(
     def make_step(C):
       def step(carry, xs):
         meta_row, t_idx = xs                      # (S, 5) packed scalars
-        st, overflow, visits, itv_buf, itv_cnt = carry
-        ranges, ids, band, colmin = _unpack_state(st, bw, W, rw)
+        st, overflow, visits, itv_buf, itv_cnt, *dbg = carry
+        ranges, ids, band, colmin = _unpack_state(st, bw, Wp, rw)
         # GHOST lanes (boundary-harvest deaths kept inert in place, see
         # below): bit 31 flags, bits 21-30 stash the death-step back
         # depth; bits 0-20 remain the lane id. Ghosts cost a frontier
@@ -626,6 +648,9 @@ def run_scheme(
         cm_sd = jnp.where(is_b[:, None], cm0, cm1)            # (C, W)
         cm_other = jnp.where(is_b[:, None], cm1, cm0)         # (C, W)
         regs = []
+        args_new = []
+        if track_arg:
+            dbv_mod = (dbv & 63).astype(jnp.int8)             # (C,)
         for w_ in range(W):
             op = (cops_w[w_ // 4] >> (7 * (w_ % 4))) & 127    # (C,)
             cell = op & 63
@@ -636,10 +661,18 @@ def run_scheme(
             acc = jnp.full((C, 4), INF, jnp.int8)
             for o_ in range(bw):
                 acc = jnp.where((cell == o_)[:, None], newD[:, :, o_], acc)
+            valid = (cell < 63)[:, None]
             regs.append(jnp.where(
-                (cell < 63)[:, None],
-                jnp.minimum(base[:, None], acc), cm_sd[:, w_][:, None]))
-        new_cm_sd = jnp.stack(regs, axis=2)                   # (C, 4ch, W)
+                valid, jnp.minimum(base[:, None], acc), cm_sd[:, w_][:, None]))
+            if track_arg:
+                # shadow arg: reset rows restart the witness at the current
+                # depth; strict decreases move it (ties keep the earliest —
+                # the smallest matched back extent)
+                prev_arg = jnp.where(rst, dbv_mod, cm_sd[:, W + w_])
+                args_new.append(jnp.where(
+                    valid & (acc < base[:, None]), dbv_mod[:, None],
+                    prev_arg[:, None]))
+        new_cm_sd = jnp.stack(regs + args_new, axis=2)        # (C, 4ch, Wp)
 
         # 4) prune. The CURRENT phase's window register participates in the
         # bound only while fresh (cacc = 7 outside the window); the other
@@ -704,10 +737,10 @@ def run_scheme(
             jnp.broadcast_to(band[:, None, 1], (C, 4, bw)))
         ch_band = jnp.stack([band_b, band_f], axis=2)         # (C,4,2,BW)
         cm_b = jnp.where((is_b & keepv)[:, None, None], new_cm_sd,
-                         jnp.broadcast_to(cm0[:, None], (C, 4, W)))
+                         jnp.broadcast_to(cm0[:, None], (C, 4, Wp)))
         cm_f = jnp.where(((~is_b) & keepv)[:, None, None], new_cm_sd,
-                         jnp.broadcast_to(cm1[:, None], (C, 4, W)))
-        ch_colmin = jnp.stack([cm_b, cm_f], axis=2)           # (C,4,2,W)
+                         jnp.broadcast_to(cm1[:, None], (C, 4, Wp)))
+        ch_colmin = jnp.stack([cm_b, cm_f], axis=2)           # (C,4,2,Wp)
 
         if switchpoint > 0:
             flat_n = narrow.reshape(-1)
@@ -729,7 +762,7 @@ def run_scheme(
         ch_packed = _pack_state(
             ch_ranges,
             jnp.broadcast_to(new_ids[:, None], (C, 4)),
-            ch_band, ch_colmin, bw, W,
+            ch_band, ch_colmin, bw, Wp,
         )                                                     # (C, 4, words)
 
         # 6) compact 4C -> C: scatter only the source index, then ONE row
@@ -752,7 +785,9 @@ def run_scheme(
             ch_packed.reshape(4 * C, nwords)[srcc],
             jnp.zeros((C, nwords), jnp.uint32),
         )
-        return (new_state, overflow, visits, itv_buf2, itv_cnt2), None
+        if dbg:   # per-step live-lane histogram (profiling builds)
+            dbg = (dbg[0].at[t_idx].set(n_alive),)
+        return (new_state, overflow, visits, itv_buf2, itv_cnt2, *dbg), None
       return step
 
     def shrink(st_packed, C_new, overflow):
@@ -791,10 +826,16 @@ def run_scheme(
             cond, body, (jnp.asarray(t_lo, jnp.int32), *carry))
         return tuple(out[1:])
 
+    live_hist0 = jnp.zeros((), jnp.int32)
     if T > 0:
         meta_xs = (jnp.zeros((T, 1, 3), jnp.int32) if dyn is not None
                    else tables["mrow"])
+        import os as _os
+
+        step_stats = bool(_os.environ.get("COLUMBA_TPU_STEP_STATS"))
         carry = (state, overflow0, visits0, itv_buf0, itv_cnt0)
+        if step_stats:
+            carry = carry + (jnp.zeros((T,), jnp.int32),)
         if 0 < split_step < T and 0 < capacity2 < C:
             # stage 1 at full capacity: the switchpoint drains most lanes
             carry = run_while(make_step(C), carry, meta_xs, 0, split_step)
@@ -804,9 +845,10 @@ def run_scheme(
                               split_step, T)
         else:
             carry = run_while(make_step(C), carry, meta_xs, 0, T)
-        state, overflow0, visits0, itv_buf0, itv_cnt0 = carry
+        state, overflow0, visits0, itv_buf0, itv_cnt0 = carry[:5]
+        live_hist0 = carry[5] if len(carry) > 5 else jnp.zeros((), jnp.int32)
 
-    ranges_f, ids_f, band_f, colmin_f = _unpack_state(state, bw, W, rw)
+    ranges_f, ids_f, band_f, colmin_f = _unpack_state(state, bw, Wp, rw)
     # ghosts (boundary-harvest deaths held inert in the frontier) join the
     # in-text buffer in ONE post-loop compaction; their stashed death-step
     # back depth restores the itv row layout [lo, hi, ids, db]
@@ -833,9 +875,13 @@ def run_scheme(
              for j in range(2)], axis=1)
     cm_b_f = jnp.zeros((Cf,), jnp.int8)
     cm_f_f = jnp.zeros((Cf,), jnp.int8)
+    arg_b_f = jnp.full((Cf,), -1, jnp.int8)   # -1: back side has no window
     for w_ in range(W):
         cm_b_f = jnp.where(freg[:, 0] == w_, colmin_f[:, 0, w_], cm_b_f)
         cm_f_f = jnp.where(freg[:, 1] == w_, colmin_f[:, 1, w_], cm_f_f)
+        if track_arg:
+            arg_b_f = jnp.where(freg[:, 0] == w_, colmin_f[:, 0, W + w_],
+                                arg_b_f)
     ed_lb = cm_b_f.astype(jnp.int32) + cm_f_f.astype(jnp.int32)
     alive_f = (ranges_f[:, 1] > ranges_f[:, 0]) & ~ghost_f
     u_src = (dyn["u_last"] if dyn is not None
@@ -852,4 +898,6 @@ def run_scheme(
         itv=itv_buf0[:M],
         itv_count=itv_cnt0,
         searches_started=n_alive0,
+        arg_b=arg_b_f,
+        live_hist=live_hist0,
     )

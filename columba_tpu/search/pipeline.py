@@ -771,13 +771,15 @@ def _match_exact_finish(ec):
 def _textless_device(index, batch, sched, tables, capacity):
     """Textless RLC device step: scheme run only — no locate/verify (both
     need O(n) structures); done lanes carry toehold samples in their
-    range vectors (ops/bextend)."""
+    range vectors (ops/bextend). track_arg compiles the matched-length
+    shadow slots so edit begins come out exact."""
     res = executor.run_scheme(index, batch, sched, int(capacity),
-                              None, None, None, 0, 0, 0, 0, tables=tables)
+                              None, None, None, 0, 0, 0, 0, tables=tables,
+                              track_arg=True)
     return dict(ranges=res.ranges, rid=res.rid, sid=res.sid,
                 ed_lb=res.ed_lb, done=res.done, overflow=res.overflow,
                 nodes=res.nodes_visited, harvest=res.itv_count,
-                searches=res.searches_started)
+                searches=res.searches_started, arg_b=res.arg_b)
 
 
 def _phi_eval(vals: np.ndarray, xs: np.ndarray, ys: np.ndarray):
@@ -852,6 +854,7 @@ def _match_textless(index, host_arrays, batch_dev, R, k, kb, sched,
     rid = np.asarray(out["rid"])[sel].astype(np.int64)
     sid = np.asarray(out["sid"])[sel].astype(np.int64)
     ed = np.asarray(out["ed_lb"])[sel].astype(np.int64)
+    arg_b = np.asarray(out["arg_b"])[sel].astype(np.int64)
     stats = dict(
         total_candidates=0, overflow=int(out["overflow"]),
         nodes_visited=int(out["nodes"]),
@@ -871,12 +874,17 @@ def _match_textless(index, host_arrays, batch_dev, R, k, kb, sched,
     w = hi - lo
     tv = ranges[:, 8].astype(np.int64)
     toff = ranges[:, 9].astype(np.int64)
-    # static per-search extent length and back-overshoot correction
+    # static per-search extent length; the begin correction is the ACTUAL
+    # back overshoot consumed, recovered per candidate from the tracked
+    # matched-length witness (arg_b = back depth mod 64 at the final back
+    # window's minimum) — exact begins, matching the reference's
+    # matchedStr-length reporting (src/indexinterface.h:294-304). Lanes
+    # whose back side is pure-exact (no band window, arg_b = -1) have
+    # zero overshoot by construction.
     active = np.asarray(sched.active)
     ex_pos = np.asarray(sched.ex_pos)
     t_total = (ex_pos >= 0).sum(axis=1) + active.sum(axis=1)   # (S,)
-    estb = (np.asarray(sched.t_back, dtype=np.int64)
-            - np.asarray(sched.pivot, dtype=np.int64))
+    t_back_s = np.asarray(sched.t_back, dtype=np.int64)
 
     # enumerate each side's interval with its own phi tables
     parts = []
@@ -897,7 +905,9 @@ def _match_textless(index, host_arrays, batch_dev, R, k, kb, sched,
     starts = np.concatenate([p[1] for p in parts])
     stats["total_candidates"] = int(len(src))
 
-    begin = starts + estb[sid[src]]
+    corr = (t_back_s[sid[src]] - arg_b[src]) & 63
+    corr = np.where(arg_b[src] < 0, 0, corr)
+    begin = starts + corr
     begin = np.clip(begin, 0, n - 1)
     read = rid[src] % R
     strand = rid[src] // R

@@ -209,9 +209,12 @@ def test_phi_tables_identity(rng):
 @pytest.mark.parametrize("metric", ["hamming", "edit"])
 def test_textless_matches_with_text(pair, rng, metric):
     """Textless RLC (toehold + phi locate, no packed text / stride
-    samples) finds every occurrence the with-text RLC pipeline finds:
-    exact position parity for Hamming (no indels -> extent starts are
-    exact), +-k position tolerance for edit (no verify pass to refine)."""
+    samples) finds every occurrence the with-text RLC pipeline finds.
+    Begins are EXACT (track_arg matched-length witness): Hamming begins
+    match the with-text path bit-for-bit; edit begins may differ from the
+    with-text choice by a tie among equally-optimal alignment starts
+    (<= 1 position at k=2, checked tighter in
+    test_textless_edit_begins_exact)."""
     from columba_tpu.search import pipeline
     from columba_tpu.search.scheme import get_scheme
 
@@ -240,7 +243,7 @@ def test_textless_matches_with_text(pair, rng, metric):
         tl_by.setdefault((o.read_id, o.strand), []).append(o)
     # same (read, strand) groups mapped
     assert set(tl_by) == set(ref_by)
-    tol = 0 if metric == "hamming" else k
+    tol = 0 if metric == "hamming" else 1   # edit: tie among optimal starts
     for key_, occs in tl_by.items():
         ref_begins = sorted(o.begin for o in ref_by[key_])
         for o in occs:
@@ -305,3 +308,49 @@ def test_textless_k0_and_collection_collapse(pair, rng):
                                 metric="edit", host_arrays=arrays_tl)
     assert (set(zip(o_c.read_id, o_c.strand, o_c.begin, o_c.distance))
             == set(zip(o_s.read_id, o_s.strand, o_s.begin, o_s.distance)))
+
+
+def test_textless_edit_begins_exact(pair, rng):
+    """Every textless edit occurrence's begin is the exact start of an
+    optimal alignment: an anchored semi-global DP from text[begin]
+    achieves the reported distance (the matched-length witness carried by
+    the executor's track_arg shadow slots; the reference carries the
+    matchedStr length per DFS leaf, src/indexinterface.h:294-304)."""
+    from columba_tpu.core import alphabet
+    from columba_tpu.search import pipeline
+    from columba_tpu.search.scheme import get_scheme
+
+    genome, fm, bm = pair
+    arrays_tl = build_bmove_from_codes(genome, textless=True)
+    tl = BMoveIndex.from_arrays(arrays_tl)
+    k = 2
+    # errorful reads WITH indels
+    reads = sample_reads(rng, genome, num=24, length=80, max_err=k,
+                         edits=True)
+    occs, _ = pipeline.match_all(tl, reads, get_scheme("kuch1", k),
+                                 metric="edit", host_arrays=arrays_tl)
+
+    def anchored_min_ed(read, text):
+        m, t = len(read), len(text)
+        prev = np.arange(t + 1, dtype=np.int64)
+        prev[:] = np.minimum(prev, 10 ** 6)
+        # D[0][c] = c: skipping text before the pattern costs, so a
+        # distance-d result certifies an alignment STARTING at text[0]
+        for j in range(1, m + 1):
+            cur = np.empty(t + 1, dtype=np.int64)
+            cur[0] = j
+            mis = (text != read[j - 1]).astype(np.int64)
+            for c in range(1, t + 1):
+                cur[c] = min(prev[c - 1] + mis[c - 1], prev[c] + 1,
+                             cur[c - 1] + 1)
+            prev = cur
+        return int(prev.min())
+
+    assert len(occs) >= 24
+    for o in occs:
+        read = (reads[o.read_id] if o.strand == 0
+                else alphabet.revcomp(reads[o.read_id]))
+        lo = int(o.begin)
+        win = genome[lo:lo + len(read) + k + 2]
+        assert anchored_min_ed(read, win) == o.distance, (
+            o.read_id, o.strand, lo, o.distance)
