@@ -759,35 +759,64 @@ def run_scheme(
         else:
             itv_buf2, itv_cnt2 = itv_buf, itv_cnt
 
+        import os as _os
+
         ch_packed = _pack_state(
             ch_ranges,
             jnp.broadcast_to(new_ids[:, None], (C, 4)),
             ch_band, ch_colmin, bw, Wp,
         )                                                     # (C, 4, words)
+        if _os.environ.get("COLUMBA_TPU_COMPACT_STEP"):
+            # legacy cumsum+scatter compaction (A/B reference)
+            flat_alive = ch_alive.reshape(-1)
+            pos = jnp.cumsum(flat_alive.astype(jnp.int32)) - 1
+            dest = jnp.where(flat_alive, pos, C)
+            dest = jnp.where(pos >= C, C, dest)
+            n_alive = pos[-1] + 1
+            overflow = overflow + jnp.maximum(n_alive - C, 0)
+            src = jnp.full((C + 1,), 4 * C, jnp.int32)
+            src = src.at[dest].set(jnp.arange(4 * C, dtype=jnp.int32),
+                                   mode="drop")[:C]
+            live = src < 4 * C
+            srcc = jnp.where(live, src, 0)
+            nwords = ch_packed.shape[-1]
+            new_state = jnp.where(
+                live[:, None],
+                ch_packed.reshape(4 * C, nwords)[srcc],
+                jnp.zeros((C, nwords), jnp.uint32),
+            )
+            if dbg:   # per-step live-lane histogram (profiling builds)
+                dbg = (dbg[0].at[t_idx].set(n_alive),)
+            return (new_state, overflow, visits, itv_buf2, itv_cnt2,
+                    *dbg), None
 
-        # 6) compact 4C -> C: scatter only the source index, then ONE row
-        # gather of the packed state.
+        # 6) compact 4C -> C by SORT (one lax.sort_key_val over 4C
+        # uint32 index keys, alive-first in original order) + one row
+        # gather of the packed state. Measured at C=131072/T=88 (k=4
+        # full-band): sort-compaction 17.3 ms/step vs cumsum+scatter
+        # 21.1 (tools/profile_step2.py). A third variant — in-place
+        # single-child selection with field-level scatters of branch
+        # extras into free slots — was built and measured 4x SLOWER
+        # (~64 ms/step): TPU scatters at small unaligned rows fall off
+        # the fast path entirely (recorded negative, docs/PERF.md).
         flat_alive = ch_alive.reshape(-1)
-        pos = jnp.cumsum(flat_alive.astype(jnp.int32)) - 1
-        dest = jnp.where(flat_alive, pos, C)
-        dest = jnp.where(pos >= C, C, dest)
-        n_alive = pos[-1] + 1
-        overflow = overflow + jnp.maximum(n_alive - C, 0)
-
-        src = jnp.full((C + 1,), 4 * C, jnp.int32)
-        src = src.at[dest].set(jnp.arange(4 * C, dtype=jnp.int32),
-                               mode="drop")[:C]
-        live = src < 4 * C
-        srcc = jnp.where(live, src, 0)
+        ar = jnp.arange(4 * C, dtype=jnp.uint32)
+        keys = jnp.where(flat_alive, ar, jnp.uint32(4 * C) + ar)
+        _, src = jax.lax.sort_key_val(keys, ar)
+        src = src[:C].astype(jnp.int32)
+        alive_c = flat_alive[src]
         nwords = ch_packed.shape[-1]
         new_state = jnp.where(
-            live[:, None],
-            ch_packed.reshape(4 * C, nwords)[srcc],
+            alive_c[:, None],
+            ch_packed.reshape(4 * C, nwords)[src],
             jnp.zeros((C, nwords), jnp.uint32),
         )
+        n_alive = flat_alive.sum().astype(jnp.int32)
+        overflow = overflow + jnp.maximum(n_alive - C, 0)
         if dbg:   # per-step live-lane histogram (profiling builds)
             dbg = (dbg[0].at[t_idx].set(n_alive),)
-        return (new_state, overflow, visits, itv_buf2, itv_cnt2, *dbg), None
+        return (new_state, overflow, visits, itv_buf2, itv_cnt2,
+                *dbg), None
       return step
 
     def shrink(st_packed, C_new, overflow):
