@@ -315,7 +315,12 @@ class BMoveIndex:
     @staticmethod
     def from_arrays(arrays: BMoveArrays) -> "BMoveIndex":
         n = arrays.n
-        text = np.concatenate([arrays.text, np.zeros(16, dtype=np.uint32)])
+        # (rows, 128) word layout — matches FMIndex.text (verify's window
+        # gathers assume 128-lane rows; see fmindex.py / ops/verify.py)
+        tw = np.asarray(arrays.text, dtype=np.uint32)
+        pad = (-len(tw)) % 128 + 128
+        text = np.concatenate([tw, np.zeros(pad, np.uint32)]).reshape(-1,
+                                                                      128)
         fused = np.concatenate([arrays.fused_fwd, arrays.fused_rev])
         r_f = arrays.meta["runs_fwd"]
         return BMoveIndex(

@@ -31,6 +31,15 @@ from columba_tpu.index.build import IndexArrays
 KMER_K = 10  # seed table k-mer size (reference default, src/definitions.h)
 
 
+def _pad_reshape4(bits) -> np.ndarray:
+    """Packed bit words -> (blocks, 4) uint32 rows (pad to a whole row)."""
+    w = np.asarray(bits, dtype=np.uint32)
+    pad = (-len(w)) % 4
+    if pad:
+        w = np.concatenate([w, np.zeros(pad, np.uint32)])
+    return w.reshape(-1, 4)
+
+
 @dataclass(frozen=True)
 class FMIndex:
     """Replicated device arrays of one index. A pytree of jnp arrays."""
@@ -44,7 +53,10 @@ class FMIndex:
                           # 48B rows (measured, tools/gather_bench.py)
     counts: jax.Array     # (4,) uint32 first SA row per char (A,C,G,T)
     dollar: jax.Array     # (2,) uint32: '$' row in [fwd, rev] BWT
-    text: jax.Array       # packed uint32 genome words (padded)
+    text: jax.Array       # packed genome words as (rows, 128) uint32 —
+                          # 2048 chars/row; 128-lane rows take the TPU
+                          # (8,128) tiling with no padding (a narrow view
+                          # was laid out 16x padded -> OOM at 4.29 Gbp)
     sa_samples: jax.Array  # uint32, SA values at sampled rows, SA-row order
     sa_bits: jax.Array     # packed uint32 marker bits over rows
     sa_bits_rank: jax.Array  # (blocks,) uint32
@@ -61,7 +73,10 @@ class FMIndex:
         blocks = arrays.occ.shape[0]
         assert arrays.rocc.shape[0] == blocks
         assert arrays.bwt.shape[0] == blocks * 8, (arrays.bwt.shape, blocks)
-        text = np.concatenate([arrays.text, np.zeros(16, dtype=np.uint32)])
+        tw = np.asarray(arrays.text, dtype=np.uint32)
+        pad = (-len(tw)) % 128 + 128   # tail pad + one spare row (row+1
+        text = np.concatenate(         # gathers clip, spare keeps them
+            [tw, np.zeros(pad, np.uint32)]).reshape(-1, 128)  # in-bounds
         occ_cat = np.concatenate([arrays.occ, arrays.rocc])
         words_cat = np.concatenate([arrays.bwt, arrays.rbwt]).reshape(-1, 8)
         fused = np.zeros((2 * blocks, 16), dtype=np.uint32)
@@ -79,7 +94,11 @@ class FMIndex:
             text=jnp.asarray(text),
             sa_samples=jnp.asarray(
                 np.asarray(arrays.sa_samples, dtype=np.uint32)),
-            sa_bits=jnp.asarray(arrays.sa_bits),
+            # (blocks, 4) row layout, shaped on HOST: an in-program
+            # reshape to a narrow minor dim materializes a (8,128)-tiled
+            # temp — 32x padded, 15.5 GB at a 4.29 Gbp block (measured
+            # OOM); parameters keep compact layouts
+            sa_bits=jnp.asarray(_pad_reshape4(arrays.sa_bits)),
             sa_bits_rank=jnp.asarray(
                 np.asarray(arrays.sa_bits_rank, dtype=np.uint32)),
             n_arr=jnp.asarray(np.asarray([n, n + 1], dtype=np.uint32)),

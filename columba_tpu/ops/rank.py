@@ -114,10 +114,12 @@ def cnt_dollar(dollar_row: jax.Array, pos: jax.Array) -> jax.Array:
 def rank_bits(bits: jax.Array, bits_rank: jax.Array, pos: jax.Array) -> jax.Array:
     """rank1 over a packed marker bitvector (32 bits/word, 128/block).
 
+    bits: (blocks, 4) uint32 rows (shaped at load — an in-program narrow
+    reshape would materialize a 32x tile-padded temp, ops/verify.py note).
     Returns uint32 (a dense-SA sampling can have > 2^31 set bits)."""
     blk, off = _blk_off(pos)
     base = bits_rank[blk].astype(jnp.uint32)
-    wvals = bits.reshape(-1, 4)[blk]  # one 16B row per lane
+    wvals = bits[blk]                 # one 16B row per lane
     r = jnp.clip(off[..., None] - 32 * jnp.arange(4, dtype=jnp.int32), 0, 32)
     shift = jnp.minimum(r, 31).astype(jnp.uint32)
     mask = jnp.where(
@@ -129,8 +131,13 @@ def rank_bits(bits: jax.Array, bits_rank: jax.Array, pos: jax.Array) -> jax.Arra
 
 
 def get_bit(bits: jax.Array, pos: jax.Array) -> jax.Array:
+    """Marker bit at pos; bits is the (blocks, 4) row layout."""
     pos = pos.astype(jnp.uint32)
-    w = bits[(pos >> 5).astype(jnp.int32)]
+    row = bits[(pos >> 7).astype(jnp.int32)]          # (..., 4)
+    wi = ((pos >> 5) & jnp.uint32(3)).astype(jnp.int32)
+    w = row[..., 0]
+    for i in range(1, 4):
+        w = jnp.where(wi == i, row[..., i], w)
     return ((w >> (pos & jnp.uint32(31))) & 1).astype(jnp.bool_)
 
 

@@ -44,16 +44,27 @@ def gather_window(index: FMIndex, starts: jax.Array, width: int) -> jax.Array:
     fancy gather (take_along_axis over (B, chars) was the old hot spot).
     """
     starts = starts.astype(jnp.uint32)
-    nblk = -(-(width + 127) // 128)  # blocks so offset(<=127)+width fits
     n = index.n_arr[0]
-    text2d = index.text[: (index.text.shape[0] // 8) * 8].reshape(-1, 8)
-    nb = text2d.shape[0]
+    # index.text is (rows, 128) uint32 = 2048 chars per row: 128-lane rows
+    # take XLA:TPU's (8,128) tiling with ZERO padding — a narrow (N, 8)
+    # view got laid out 16x padded, which at a 4.29 Gbp block materialized
+    # a 15.5 GB text copy and OOM'd HBM (measured, round 5). Two row
+    # gathers + a 16-way group select replace the old single block gather.
+    t2d = index.text
+    Rr = t2d.shape[0]
     is_neg = starts >= NEG_T
     eff = jnp.where(is_neg, jnp.uint32(0), starts)          # anchor neg at 0
-    start_blk = (eff >> 7).astype(jnp.int32)                # 128-char blocks
-    wvals = jnp.concatenate(
-        [text2d[jnp.clip(start_blk + i, 0, nb - 1)] for i in range(nblk + 1)],
-        axis=1)                                             # (B, 8*(nblk+1))
+    row = (eff >> 11).astype(jnp.int32)                     # 2048-char rows
+    nw_out0 = (width + 15) // 16 + 1
+    ngrp = (nw_out0 + 7) // 8 + 1           # 8-word (128-char) groups
+    rows2 = jnp.concatenate(
+        [t2d[jnp.clip(row, 0, Rr - 1)],
+         t2d[jnp.clip(row + 1, 0, Rr - 1)]], axis=1)        # (B, 256)
+    grp = ((eff >> 7) & jnp.uint32(15)).astype(jnp.int32)   # group in row
+    wvals = rows2[:, 0:8 * ngrp]
+    for g in range(1, 16):
+        wvals = jnp.where((grp == g)[:, None],
+                          rows2[:, 8 * g:8 * (g + ngrp)], wvals)
     B = wvals.shape[0]
     nw_in = wvals.shape[1]
     off = (eff & jnp.uint32(127)).astype(jnp.int32)         # (B,) in [0,127]
