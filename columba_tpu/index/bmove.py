@@ -323,12 +323,14 @@ class BMoveIndex:
                                                                       128)
         fused = np.concatenate([arrays.fused_fwd, arrays.fused_rev])
         r_f = arrays.meta["runs_fwd"]
+        from columba_tpu.index.fmindex import device_put_chunked
+
         return BMoveIndex(
-            fused=jnp.asarray(np.asarray(fused, dtype=np.uint32)),
+            fused=device_put_chunked(np.asarray(fused, dtype=np.uint32)),
             first_row=jnp.asarray(
                 np.asarray(arrays.first_row, dtype=np.uint32)),
-            text=jnp.asarray(text),
-            sa_stride=jnp.asarray(
+            text=device_put_chunked(text),
+            sa_stride=device_put_chunked(
                 np.asarray(arrays.sa_stride, dtype=np.uint32)),
             n_arr=jnp.asarray(np.asarray([n, n + 1], dtype=np.uint32)),
             n=n,

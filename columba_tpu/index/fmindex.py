@@ -31,6 +31,25 @@ from columba_tpu.index.build import IndexArrays
 KMER_K = 10  # seed table k-mer size (reference default, src/definitions.h)
 
 
+def device_put_chunked(a: np.ndarray, chunk_bytes: int = 64 << 20):
+    """device_put large host arrays in bounded chunks + one on-device
+    concat. The remote axon tunnel moves high-entropy data at ~6 MB/s and
+    a single transfer past ~0.5 GB crashes the TPU worker outright
+    (measured: a 929 MB RLC run table died reproducibly; 76 MB chunks
+    moved the same bytes fine). Chunks are fenced one by one so the
+    tunnel never holds more than chunk_bytes in flight."""
+    a = np.ascontiguousarray(a)
+    if a.nbytes <= 4 * chunk_bytes:
+        return jnp.asarray(a)
+    rows = max(1, int(chunk_bytes // max(a.nbytes // max(len(a), 1), 1)))
+    parts = []
+    for i in range(0, len(a), rows):
+        p = jnp.asarray(a[i:i + rows])
+        p.block_until_ready()
+        parts.append(p)
+    return jnp.concatenate(parts, axis=0)
+
+
 def _pad_reshape4(bits) -> np.ndarray:
     """Packed bit words -> (blocks, 4) uint32 rows (pad to a whole row)."""
     w = np.asarray(bits, dtype=np.uint32)
@@ -85,14 +104,14 @@ class FMIndex:
         # positions/counts are uint32 on device (single-index genomes to
         # ~4.29 Gbp; round-1 indexes persisted int32 load via the cast)
         return FMIndex(
-            occ_fused=jnp.asarray(fused),
+            occ_fused=device_put_chunked(fused),
             counts=jnp.asarray(np.asarray(arrays.counts, dtype=np.uint32)),
             dollar=jnp.asarray(
                 np.asarray([arrays.dollar_fwd, arrays.dollar_rev],
                            dtype=np.uint32)
             ),
-            text=jnp.asarray(text),
-            sa_samples=jnp.asarray(
+            text=device_put_chunked(text),
+            sa_samples=device_put_chunked(
                 np.asarray(arrays.sa_samples, dtype=np.uint32)),
             # (blocks, 4) row layout, shaped on HOST: an in-program
             # reshape to a narrow minor dim materializes a (8,128)-tiled
